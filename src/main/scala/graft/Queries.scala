@@ -1,0 +1,475 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators._
+
+/** The driver-verified operator registry: every operator from SURVEY.md §2
+  * (plus the training-data-pipeline operators) as a named query, each with
+  * an exactly-equivalent ANSI-SQL DuckDB oracle where SQL can express it.
+  *
+  * Determinism conventions (cross-engine hash compare):
+  *  - every aggregate over doubles is rounded at (or below) the exact
+  *    decimal grid of its inputs, so IEEE accumulation-order differences
+  *    can never flip the rounded value;
+  *  - every ranking has a total-order tie-break on a unique key;
+  *  - counts derived from Spark `size()` are cast to long to match SQL
+  *    BIGINT; SQL `year()` etc. are cast to int to match Spark.
+  */
+object Queries {
+
+  final case class Q(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ------------------------------------------------------------------
+  // relational core (TPC-H-ish)
+  // ------------------------------------------------------------------
+
+  private val relational: Seq[Q] = Seq(
+    Q("q01_agg_pricing",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc"),
+          count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_base,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc,
+             |  count(*) AS n
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    Q("q02_filter_project",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_quantity") >= 45 && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("net")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  round(l_extendedprice * (1 - l_discount), 4) AS net
+             |FROM lineitem WHERE l_quantity >= 45 AND l_returnflag = 'R'""".stripMargin)),
+
+    Q("q03_join_broadcast",
+      (s, d) => t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n")),
+      Some("""SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand""".stripMargin)),
+
+    Q("q04_join_shuffle_3way",
+      (s, d) => t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders")),
+      Some("""SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name""".stripMargin)),
+
+    Q("q05_semi_join",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin)),
+
+    Q("q06_anti_join",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin)),
+
+    Q("q07_outer_join_agg",
+      (s, d) => t(s, d, "orders")
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"), "left")
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(count(col("l_linenumber")).as("n_lines"),
+          round(sum(coalesce(col("l_quantity"), lit(0.0))), 2).as("sum_qty")),
+      Some("""SELECT o_orderkey, o_orderstatus, count(l_linenumber) AS n_lines,
+             |  round(sum(coalesce(l_quantity, 0)), 2) AS sum_qty
+             |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY o_orderkey, o_orderstatus""".stripMargin)),
+
+    Q("q08_window_rank",
+      (s, d) => t(s, d, "orders")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+        .filter(col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk"),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    CAST(row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+             |  FROM orders) WHERE rk <= 3""".stripMargin)),
+
+    Q("q09_window_running",
+      (s, d) => t(s, d, "lineitem")
+        .withColumn("running_qty", sum("l_quantity").over(
+          Window.partitionBy("l_suppkey")
+            .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty"),
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+             |  sum(l_quantity) OVER (PARTITION BY l_suppkey
+             |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+             |FROM lineitem""".stripMargin)),
+
+    Q("q10_sort_limit",
+      (s, d) => t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin)),
+
+    Q("q11_distinct",
+      (s, d) => t(s, d, "lineitem").select("l_returnflag", "l_linestatus").distinct(),
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")),
+
+    Q("q12_rollup",
+      (s, d) => t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n")),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             |  coalesce(l_linestatus, 'ALL') AS ls,
+             |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)),
+
+    Q("q13_union",
+      (s, d) => t(s, d, "events").filter(col("event_type") === "click").select("user_id")
+        .union(t(s, d, "events").filter(col("event_type") === "purchase").select("user_id"))
+        .distinct(),
+      Some("""SELECT user_id FROM events WHERE event_type = 'click'
+             |UNION SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin)),
+
+    Q("q14_except",
+      (s, d) => t(s, d, "events").filter(col("event_type") === "click")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day_ts"))
+        .except(t(s, d, "events").filter(col("event_type") === "purchase")
+          .select(col("user_id"), date_trunc("day", col("ts")).as("day_ts"))),
+      Some("""SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts
+             |FROM events WHERE event_type = 'click'
+             |EXCEPT SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP)
+             |FROM events WHERE event_type = 'purchase'""".stripMargin)),
+
+    Q("q15_intersect",
+      (s, d) => t(s, d, "events").filter(col("event_type") === "error").select("user_id")
+        .intersect(t(s, d, "events").filter(col("event_type") === "purchase").select("user_id")),
+      Some("""SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+             |INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin)),
+
+    Q("q16_scalar_fns",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          upper(substring(col("text"), 1, 12)).as("head_up"),
+          length(col("text")).as("len_chars"),
+          round(sqrt(col("n_chars")), 6).as("sqrt_len"),
+          concat_ws("-", col("source"), col("lang")).as("tag")),
+      Some("""SELECT doc_id, upper(substr(text, 1, 12)) AS head_up,
+             |  CAST(length(text) AS INT) AS len_chars,
+             |  round(sqrt(n_chars), 6) AS sqrt_len,
+             |  source || '-' || lang AS tag
+             |FROM documents""".stripMargin)),
+
+    Q("q17_date_fns",
+      (s, d) => t(s, d, "events")
+        .select(col("event_id"), year(col("ts")).as("y"), month(col("ts")).as("m"),
+          dayofmonth(col("ts")).as("dom"), hour(col("ts")).as("hr"),
+          minute(col("ts")).as("mi"), date_trunc("day", col("ts")).as("day_ts")),
+      Some("""SELECT event_id, CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+             |  CAST(day(ts) AS INT) AS dom, CAST(hour(ts) AS INT) AS hr,
+             |  CAST(minute(ts) AS INT) AS mi,
+             |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts
+             |FROM events""".stripMargin)),
+
+    Q("q18_explode_wordcount",
+      (s, d) => t(s, d, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n")),
+      Some("""SELECT word, count(*) AS n FROM (
+             |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+             |GROUP BY word""".stripMargin)),
+
+    Q("q19_agg_distinct",
+      (s, d) => t(s, d, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events")),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    // HLL sketch counterpart of q19 — approximate, so rows-only check.
+    Q("q19b_agg_approx_distinct",
+      (s, d) => t(s, d, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users")),
+      None)
+  )
+
+  // ------------------------------------------------------------------
+  // CEP / streaming duals over the events stream table
+  // ------------------------------------------------------------------
+
+  private val eventCep: Seq[Q] = Seq(
+    Q("q20_tumbling_window",
+      (s, d) => EventOps.tumbling(t(s, d, "events"), 600),
+      Some("""SELECT make_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) * 1000000) AS win_start,
+             |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    Q("q21_sliding_window",
+      (s, d) => EventOps.sliding(t(s, d, "events"), 600, 300),
+      Some("""SELECT make_timestamp(CAST(floor((epoch(ts) - off) / 600) * 600 + off AS BIGINT) * 1000000) AS win_start,
+             |  event_type, count(*) AS n
+             |FROM events CROSS JOIN (VALUES (0), (300)) offs(off)
+             |GROUP BY 1, 2""".stripMargin)),
+
+    Q("q22_session_window",
+      (s, d) => EventOps.session(t(s, d, "events"), 1800),
+      Some("""WITH o AS (
+             |  SELECT user_id, ts,
+             |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+             |  FROM events),
+             |m AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN pts IS NULL OR ts >= pts + INTERVAL '1800 seconds' THEN 1 ELSE 0 END AS brk
+             |  FROM o),
+             |sess AS (
+             |  SELECT user_id, ts,
+             |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM m)
+             |SELECT user_id, min(ts) AS session_start,
+             |  max(ts) + INTERVAL '1800 seconds' AS session_end,
+             |  count(*) AS n_events
+             |FROM sess GROUP BY user_id, sid""".stripMargin)),
+
+    Q("q23_change_detect",
+      (s, d) => EventOps.changeDetect(t(s, d, "events")),
+      Some("""WITH c AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN value < 50 THEN 'LOW' WHEN value > 150 THEN 'HIGH' ELSE 'MID' END AS status
+             |  FROM events),
+             |l AS (
+             |  SELECT user_id, event_id, status,
+             |    lag(status) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_status
+             |  FROM c)
+             |SELECT user_id, event_id, status FROM l
+             |WHERE prev_status IS NULL OR prev_status <> status""".stripMargin)),
+
+    Q("q24_asof_join",
+      (s, d) => EventOps.asOf(t(s, d, "events"), "click", "purchase"),
+      Some("""WITH t AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    CASE WHEN event_type = 'click' THEN event_id END AS l_id,
+             |    CASE WHEN event_type = 'click' THEN ts END AS l_ts
+             |  FROM events WHERE event_type IN ('click', 'purchase')),
+             |c AS (
+             |  SELECT *,
+             |    last_value(l_id IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_id,
+             |    last_value(l_ts IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_ts
+             |  FROM t)
+             |SELECT user_id, event_id AS right_id, asof_id AS left_id,
+             |  epoch_us(ts) - epoch_us(asof_ts) AS lag_us
+             |FROM c WHERE event_type = 'purchase' AND asof_id IS NOT NULL""".stripMargin)),
+
+    Q("q25_range_pairs",
+      (s, d) => EventOps.rangePairs(t(s, d, "events"), "click", "view", 7200),
+      Some("""SELECT a.user_id, count(*) AS n_pairs
+             |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') a
+             |JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') f
+             |  ON a.user_id = f.user_id
+             | AND f.ts >= a.ts AND f.ts <= a.ts + INTERVAL '7200 seconds'
+             |GROUP BY a.user_id""".stripMargin)),
+
+    Q("q26_pattern_seq",
+      (s, d) => EventOps.patternCount(t(s, d, "events"), "error", "purchase"),
+      Some("""WITH l AS (
+             |  SELECT user_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+             |  FROM events)
+             |SELECT user_id, count(*) AS n_matches FROM l
+             |WHERE prev_type = 'error' AND event_type = 'purchase'
+             |GROUP BY user_id""".stripMargin))
+  )
+
+  // ------------------------------------------------------------------
+  // training-data pipeline: dedup / text analysis / similarity / media
+  // ------------------------------------------------------------------
+
+  private val shinglesSqlCtes =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    unnest([array_to_string(t[i:i+2], ' ')
+      |            for i in generate_series(1, greatest(len(t) - 2, 1))]) AS sh
+      |  FROM toks),
+      |seeds AS (SELECT unnest(['s1','s2','s3','s4','s5','s6','s7','s8']) AS s),
+      |mh AS (
+      |  SELECT doc_id, s, min(md5(s || ':' || sh)) AS mh
+      |  FROM sh CROSS JOIN seeds GROUP BY doc_id, s),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM mh a JOIN mh b ON a.s = b.s AND a.mh = b.mh AND a.doc_id < b.doc_id)
+      |""".stripMargin
+
+  private def simhashSql: String = {
+    val nib = (i: Int) => s"(instr('0123456789abcdef', substr(md5(tok), $i, 1)) - 1)"
+    val h16 = s"${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}"
+    val sums = (0 until 16).map(b =>
+      s"sum(CASE WHEN (h16 >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(",\n    ")
+    val bits = (0 until 16).map(b =>
+      s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |h AS (SELECT doc_id, $h16 AS h16 FROM tok),
+       |b AS (SELECT doc_id,
+       |    $sums
+       |  FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM b""".stripMargin
+  }
+
+  private val pipelineOps: Seq[Q] = Seq(
+    Q("q27_dedup_exact",
+      (s, d) => DedupOps.exact(t(s, d, "documents")),
+      Some("""SELECT md5(lower(text)) AS fp, min(doc_id) AS canonical_doc_id,
+             |  count(*) AS n_dups
+             |FROM documents GROUP BY 1""".stripMargin)),
+
+    Q("q28_token_count",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars_txt")),
+      Some("""SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             |  length(text) AS n_chars_txt FROM documents""".stripMargin)),
+
+    Q("q29_quality_score",
+      (s, d) => {
+        val nTok = TextFunctions.tokenCount(col("text")).cast("double")
+        val stops = TextFunctions.stopwordCount(col("text"), TextFunctions.EnStops).cast("double")
+        t(s, d, "documents").select(col("doc_id"),
+          nTok.cast("long").as("n_tokens"),
+          round(stops / nTok, 6).as("stop_ratio"),
+          round(least(lit(1.0), nTok / 100.0) * (lit(1.0) - stops / nTok), 6).as("score"))
+      },
+      Some("""WITH q AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |      x -> x IN ('the','a','of','and'))) AS DOUBLE) AS stops
+             |  FROM documents)
+             |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+             |  round(stops / n_tok, 6) AS stop_ratio,
+             |  round(least(1.0, n_tok / 100.0) * (1.0 - stops / n_tok), 6) AS score
+             |FROM q""".stripMargin)),
+
+    Q("q30_langid",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.langGuess(col("text")).as("lang_guess")),
+      Some("""WITH c AS (
+             |  SELECT doc_id,
+             |    len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and'))) AS en,
+             |    len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und'))) AS de,
+             |    len(list_filter(string_split(text,' '), x -> x IN ('le','la','les','et'))) AS fr,
+             |    len(list_filter(string_split(text,' '), x -> x IN ('el','los','las','y'))) AS es
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+             |       WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+             |       WHEN fr >= es AND fr > 0 THEN 'fr'
+             |       WHEN es > 0 THEN 'es'
+             |       ELSE 'und' END AS lang_guess
+             |FROM c""".stripMargin)),
+
+    Q("q31_fingerprint",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp")),
+      Some("SELECT doc_id, md5(lower(text)) AS fp FROM documents")),
+
+    Q("q32_minhash_lsh",
+      (s, d) => DedupOps.minhashLshPairs(t(s, d, "documents")),
+      Some(shinglesSqlCtes + "SELECT doc_a, doc_b FROM cand")),
+
+    Q("q33_ngram_jaccard",
+      (s, d) => DedupOps.ngramJaccard(t(s, d, "documents"),
+        DedupOps.minhashLshPairs(t(s, d, "documents"))),
+      Some(shinglesSqlCtes +
+        """, shs AS (SELECT doc_id, list_distinct(list(sh)) AS shl FROM sh GROUP BY doc_id)
+          |SELECT p.doc_a, p.doc_b,
+          |  round(CAST(len(list_intersect(a.shl, b.shl)) AS DOUBLE) /
+          |        len(list_distinct(list_concat(a.shl, b.shl))), 6) AS jaccard
+          |FROM cand p
+          |JOIN shs a ON a.doc_id = p.doc_a
+          |JOIN shs b ON b.doc_id = p.doc_b""".stripMargin)),
+
+    Q("q34_simhash",
+      (s, d) => DedupOps.simhash(t(s, d, "documents")),
+      Some(simhashSql)),
+
+    Q("q35_ann_bruteforce",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+             |  FROM embeddings WHERE vec_id < 10),
+             |s AS (
+             |  SELECT q.query_id, c.vec_id AS cand_id,
+             |    round(list_cosine_similarity(q.qe, CAST(c.embedding AS DOUBLE[])), 6) AS cos
+             |  FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.query_id),
+             |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             |    ORDER BY cos DESC, cand_id) AS INT) AS rk FROM s)
+             |SELECT query_id, cand_id, cos, rk FROM r WHERE rk <= 5""".stripMargin)),
+
+    Q("q36_embed_neardup",
+      (s, d) => SimilarityOps.cosineNearDupPairs(t(s, d, "embeddings"), 0.25),
+      Some("""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |    CAST(b.embedding AS DOUBLE[])), 6) AS cos
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |    CAST(b.embedding AS DOUBLE[])), 6) >= 0.25""".stripMargin)),
+
+    // LSH-bucketed ANN: bucket assignment uses splitmix64-derived projections
+    // (not SQL-expressible) -> rows-only check; exactness covered by q35.
+    Q("q37_ann_lsh",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        SimilarityOps.lshTopK(emb, emb.filter(col("vec_id") < 10), dim = 64, k = 5, nBits = 4)
+      },
+      None),
+
+    Q("q38_multimodal_meta",
+      (s, d) => MultimodalOps.decodeMeta(MultimodalOps.binarize(t(s, d, "documents"))).toDF(),
+      Some("""SELECT doc_id, strlen(text) AS byte_len, strlen(text) % 64 AS width,
+             |  strlen(text) % 48 AS height, strlen(text) % 16 + 1 AS n_frames,
+             |  CASE WHEN strlen(text) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+             |FROM documents""".stripMargin))
+  )
+
+  val all: Seq[Q] = relational ++ eventCep ++ pipelineOps ++ TranscriptQueries.all
+}

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column library for the training-data pipeline operators
+  * (dedup, quality, language-ID, fingerprinting). Everything here is pure
+  * `org.apache.spark.sql.functions` composition — codegen'd Catalyst
+  * expressions, no Scala UDFs — so filters/projections through these stay
+  * inside whole-stage codegen and the 100 TB scan stays CPU-bound, not
+  * serialization-bound.
+  *
+  * Every function has an exactly-equivalent ANSI-SQL formulation (used for
+  * the DuckDB oracles in SparkEntry.oracleSql); determinism across engines
+  * is part of the contract, which is why hashing is md5-based (bit-exact
+  * everywhere) rather than engine-native hash functions.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (corpus is single-space normalized at ingest). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word n-gram shingles: positions 1..max(len-n+1, 1), each a space-joined
+    * slice of up to n tokens (tail shingles shorter when len < n). */
+  def shingles(text: Column, n: Int = 3): Column =
+    transform(
+      sequence(lit(1), greatest(size(tokens(text)) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(tokens(text), i, lit(n))))
+
+  /** MinHash signature entry for one seed: the lexicographic minimum of the
+    * seeded md5 over the document's shingle set. P[minhash equal] ~= Jaccard
+    * similarity of the shingle sets — the standard LSH estimator. */
+  def minhash(text: Column, seed: String, n: Int = 3): Column =
+    array_min(transform(shingles(text, n), s => md5(concat(lit(seed + ":"), s))))
+
+  /** Document fingerprint: md5 of the lowercased text (exact-dup key). */
+  def fingerprint(text: Column): Column = md5(lower(text))
+
+  /** 16-bit per-token hash from the first 4 hex chars of md5 — chosen
+    * because the identical arithmetic is expressible in ANSI SQL
+    * (instr-over-hex-digit), keeping the SimHash oracle engine-independent. */
+  def tokenHash16(tok: Column): Column =
+    conv(substring(md5(tok), 1, 4), 16, 10).cast("long")
+
+  /** SimHash bit contribution: for bit b, +1 if set in the token hash else
+    * -1; the document's simhash sets bit b iff the sum over tokens > 0.
+    * `(h >> b) & 1` — identical operator exists in ANSI SQL / DuckDB. */
+  def bitOf(h: Column, b: Int): Column = shiftright(h, b).bitwiseAND(lit(1L))
+
+  /** Stopword-count over tokens (codegen'd higher-order filter). */
+  def stopwordCount(text: Column, stops: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(stops.map(s => s: Any): _*)))
+
+  val EnStops = Seq("the", "a", "of", "and")
+  val DeStops = Seq("der", "die", "das", "und")
+  val FrStops = Seq("le", "la", "les", "et")
+  val EsStops = Seq("el", "los", "las", "y")
+
+  /** Deterministic marker-word language-ID heuristic (argmax of per-language
+    * stopword hits, fixed tie priority en>de>fr>es, 'und' when no marker). */
+  def langGuess(text: Column): Column = {
+    val en = stopwordCount(text, EnStops)
+    val de = stopwordCount(text, DeStops)
+    val fr = stopwordCount(text, FrStops)
+    val es = stopwordCount(text, EsStops)
+    when(en >= de && en >= fr && en >= es && en > 0, "en")
+      .when(de >= fr && de >= es && de > 0, "de")
+      .when(fr >= es && fr > 0, "fr")
+      .when(es > 0, "es")
+      .otherwise("und")
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for the training-data pipeline, over a
+  * `documents(doc_id, text, ...)` table. Each has a distinct scale
+  * profile:
+  *
+  *  - exact: one hash-shuffle on the fingerprint — embarrassingly scalable.
+  *  - minhashLsh: shingle -> k seeded minhashes -> band join. Candidate
+  *    generation is a self-equi-join on (seed, minhash) — a hash shuffle
+  *    whose fan-in per bucket is the collision group size, NOT an O(n^2)
+  *    cross join. This is the 100 TB near-dup path.
+  *  - simhash: one 64-ish-bit signature per doc; near-dups collide on
+  *    signature (or small Hamming neighborhoods via band rotation).
+  *  - ngramJaccard: exact Jaccard verification on LSH candidates only —
+  *    never on all pairs.
+  *  - embeddingNearDup: see SimilarityOps (cosine-based).
+  */
+object DedupOps {
+
+  /** Exact dedup: canonical doc per identical (lowercased) text. */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(fingerprint(col("text")).as("fp"))
+      .agg(min("doc_id").as("canonical_doc_id"), count(lit(1)).as("n_dups"))
+
+  val MinhashSeeds: Seq[String] = (1 to 8).map(i => s"s$i")
+
+  /** Per-doc minhash signatures, exploded to (doc_id, seed, minhash) rows. */
+  def minhashSignatures(docs: DataFrame, shingleN: Int = 3): DataFrame = {
+    val sig = map_from_arrays(
+      array(MinhashSeeds.map(lit(_)): _*),
+      array(MinhashSeeds.map(s => minhash(col("text"), s, shingleN)): _*))
+    docs.select(col("doc_id"), explode(sig).as(Seq("seed", "mh")))
+  }
+
+  /** LSH candidate pairs: docs sharing a minhash on ANY seed (banded LSH
+    * with band size 1). Distinct (doc_a < doc_b) pairs. */
+  def minhashLshPairs(docs: DataFrame, shingleN: Int = 3): DataFrame = {
+    val sig = minhashSignatures(docs, shingleN)
+    val a = sig.select(col("seed"), col("mh"), col("doc_id").as("doc_a"))
+    val b = sig.select(col("seed").as("seed_b"), col("mh").as("mh_b"),
+      col("doc_id").as("doc_b"))
+    a.join(b, col("seed") === col("seed_b") && col("mh") === col("mh_b") &&
+        col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for a set of candidate pairs
+    * (doc_a, doc_b). Intersection over union of shingle SETS. */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      array_distinct(shingles(col("text"), shingleN)).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+  }
+
+  /** Near-dup pairs: LSH candidates verified by exact Jaccard >= threshold.
+    * The two-phase shape (cheap candidate gen, expensive verify on the
+    * small candidate set) is the part that survives 100x scale-up. */
+  def nearDupPairs(docs: DataFrame, threshold: Double = 0.7, shingleN: Int = 3): DataFrame =
+    ngramJaccard(docs, minhashLshPairs(docs, shingleN), shingleN)
+      .filter(col("jaccard") >= threshold)
+
+  /** 16-bit SimHash signature per doc (see TextFunctions.tokenHash16 for why
+    * 16: the identical arithmetic is ANSI-SQL-expressible for the oracle).
+    * Bit b of the signature is set iff sum over tokens of (+1 if bit b of
+    * the token hash else -1) is positive. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("h", tokenHash16(col("tok")))
+    val bitSums = (0 until 16).map(b =>
+      sum(bitOf(col("h"), b) * 2 - 1).as(s"b$b"))
+    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 16).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    agg.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash dedup groups: docs with identical signatures. */
+  def simhashGroups(docs: DataFrame): DataFrame =
+    simhash(docs).groupBy("simhash")
+      .agg(min("doc_id").as("canonical_doc_id"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads are opaque
+  * `binary` columns with typed metadata. No media codecs ship in this
+  * sandbox, so the DECODE step is a clearly-marked deterministic fake —
+  * but the Spark-side contract (schema, batching via mapPartitions,
+  * partition-local decoder init, no driver involvement) is real and
+  * tested. Swapping `FakeDecoder` for a JNI/ffmpeg decoder changes one
+  * function.
+  */
+object MultimodalOps {
+
+  case class MediaMeta(doc_id: Long, byte_len: Long, width: Long,
+                       height: Long, n_frames: Long, format: String)
+
+  /** STUB decode — deterministic fake: derives plausible metadata purely
+    * from payload bytes so tests and oracles are exact. A real decoder
+    * replaces the body (and ONLY the body) of `decodeOne`. */
+  object FakeDecoder extends Serializable {
+    def decodeOne(docId: Long, payload: Array[Byte]): MediaMeta = {
+      val len = payload.length.toLong
+      MediaMeta(docId, len, len % 64, len % 48, len % 16 + 1,
+        if (len % 2 == 0) "png" else "jpeg")
+    }
+  }
+
+  /** Binarize a text column into the opaque payload column (stand-in for
+    * real media bytes; keeps the pipeline runnable on the sandbox corpus). */
+  def binarize(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+
+  /** Batched decode over partitions — the real plumbing: one decoder init
+    * per partition (the expensive part with real codecs), streaming
+    * iteration, typed output. This is the Scala analogue of a
+    * mapInPandas batch UDF. */
+  def decodeMeta(docsWithPayload: DataFrame): Dataset[MediaMeta] = {
+    implicit val enc = Encoders.product[MediaMeta]
+    docsWithPayload.select("doc_id", "payload").mapPartitions { it =>
+      // real impl: val codec = Codec.open(...) once per partition
+      it.map(r => FakeDecoder.decodeOne(r.getLong(0), r.getAs[Array[Byte]](1)))
+    }
+  }
+
+  /** Deterministic frame sampling: pick every `stride`-th frame index. */
+  def sampleFrames(meta: Dataset[MediaMeta], stride: Int = 4): DataFrame = {
+    meta.toDF().select(col("doc_id"), col("n_frames"),
+      sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong)).as("frame_idxs"))
+      .withColumn("n_sampled", size(col("frame_idxs")))
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import graft.gen.TranscriptGen
+
+class GenSpec extends SparkSpec {
+  private val cfg = TranscriptGen.Config(nConvs = 50L, seed = 42L)
+
+  test("generator is deterministic and pure per conversation") {
+    val a = TranscriptGen.turnsFor(7L, cfg)
+    val b = TranscriptGen.turnsFor(7L, cfg)
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("distributed generation is identical at different parallelism") {
+    import spark.implicits._
+    val p1 = TranscriptGen.dataset(spark, cfg).repartition(1).collect().toSet
+    val p8 = TranscriptGen.dataset(spark, cfg).repartition(8).collect().toSet
+    assert(p1 == p8)
+  }
+
+  test("per-conversation invariants: ts strictly increasing in turn_idx, roles valid") {
+    val roles = Set("user", "assistant", "tool", "system")
+    (0L until cfg.nConvs).foreach { c =>
+      val ts = TranscriptGen.turnsFor(c, cfg)
+      assert(ts.map(_.turn_idx) == ts.indices.toSeq)
+      assert(ts.sliding(2).forall {
+        case Seq(x, y) => x.ts.getTime < y.ts.getTime; case _ => true
+      })
+      assert(ts.forall(t => roles.contains(t.role)))
+      assert(ts.forall(t => (t.role == "tool") == t.tool.nonEmpty))
+    }
+  }
+
+  test("hot conversation skew knob works") {
+    val hot = TranscriptGen.Config(nConvs = 10L, hotConvs = 1, hotLen = 500)
+    assert(TranscriptGen.turnsFor(0L, hot).size == 500)
+    assert(TranscriptGen.turnsFor(1L, hot).size < 300)
+  }
+}

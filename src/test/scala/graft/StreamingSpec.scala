@@ -1,0 +1,144 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.flow.{FlowSink, FlowSource}
+import graft.gen.TranscriptGen
+import graft.model.{LabeledTurn, Turn}
+import graft.sink.ExactlyOnceParquetSink
+import graft.sources.TranscriptTable
+import graft.state.{AutomatonRunner, Handlers}
+
+/** Streaming delivery-semantics suite — the ports of the reference's tests
+  * (SURVEY.md §2.3, §5): exactly-once under redelivery, ordered per-key
+  * processing under out-of-order arrival, checkpoint resume, finite-stream
+  * drain, late-data policy.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private val cfg = TranscriptGen.Config(nConvs = 25L, seed = 42L)
+  import AutomatonRunner.SentinelConvId
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+  private def turn(c: String, i: Int, min: Long, temp: Double): Turn =
+    Turn(c, i, "user", f"x temp=$temp%.1f", "", ts(min))
+  private def eos(min: Long): Turn =
+    Turn(SentinelConvId, 0, "system", "eos", "", ts(min))
+
+  private def batchOracle(cfgX: TranscriptGen.Config = cfg): Set[LabeledTurn] = {
+    import spark.implicits._
+    AutomatonRunner.runBatch(TranscriptGen.dataset(spark, cfgX),
+      Handlers.ChangeDetector).collect().toSet
+  }
+
+  test("streaming automaton == batch automaton over a finite stream (drain via sentinel)") {
+    import spark.implicits._
+    val in = tmpDir("in"); val out = tmpDir("out"); val ck = tmpDir("ck")
+    TranscriptTable.write(TranscriptGen.dataset(spark, cfg), in, nBuckets = 4)
+    TranscriptQueries.appendSentinel(spark, in)
+    val result = AutomatonRunner.runStreaming(
+      FlowSource.stream(spark, in, maxFilesPerTrigger = Some(2)),
+      Handlers.ChangeDetector, watermarkDelay = "10 minutes")
+    val sink = FlowSink.runAvailableNow(result, out, ck)
+    val got = sink.readCommitted(spark).as[LabeledTurn].collect().toSet
+    assert(got == batchOracle())
+  }
+
+  test("out-of-order arrival across micro-batches is re-ordered by the turn buffer") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Turn]
+    val result = AutomatonRunner.runStreaming(ms.toDS(), Handlers.ChangeDetector,
+      watermarkDelay = "30 minutes")
+    val q = result.writeStream.format("memory").queryName("ooo")
+      .outputMode("append").start()
+    try {
+      // batch 1: turns 2,3 arrive BEFORE turns 0,1 (within watermark delay)
+      ms.addData(turn("c1", 2, 20, 100.0), turn("c1", 3, 30, 100.5))
+      q.processAllAvailable()
+      // batch 2: the earlier turns show up late but above watermark
+      ms.addData(turn("c1", 0, 0, 98.0), turn("c1", 1, 10, 96.0))
+      q.processAllAvailable()
+      // push watermark far past everything -> full drain
+      ms.addData(eos(10000))
+      q.processAllAvailable()
+      ms.addData(eos(20000))
+      q.processAllAvailable()
+      val got = spark.table("ooo").as[LabeledTurn].collect().sortBy(_.turn_idx)
+      // oracle in turn_idx order: NOMINAL(98), COLD(96), HOT(100) -> emit 0,1,2 (3 suppressed)
+      assert(got.map(_.turn_idx).toSeq == Seq(0, 1, 2))
+      assert(got.map(_.status).toSeq == Seq("NOMINAL", "COLD", "HOT"))
+    } finally q.stop()
+  }
+
+  test("kill mid-stream + restart from checkpoint: output unchanged, exactly once") {
+    import spark.implicits._
+    val in = tmpDir("in2"); val out = tmpDir("out2"); val ck = tmpDir("ck2")
+    TranscriptTable.write(TranscriptGen.dataset(spark, cfg), in, nBuckets = 8)
+    TranscriptQueries.appendSentinel(spark, in)
+    val sink = new ExactlyOnceParquetSink(out)
+    def mkQuery(failAfter: Option[Int]) = {
+      val result = AutomatonRunner.runStreaming(
+        FlowSource.stream(spark, in, maxFilesPerTrigger = Some(1)),
+        Handlers.ChangeDetector, watermarkDelay = "10 minutes")
+      var n = 0
+      result.writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[LabeledTurn], epoch: Long) =>
+          sink.addBatch(df.toDF(), epoch)
+          n += 1
+          failAfter.foreach(k => if (n >= k) throw new RuntimeException("injected crash"))
+        }
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    // first run crashes after 3 epochs (AFTER the sink committed epoch 3 but
+    // BEFORE Spark checkpoints it -> epoch 3 will be redelivered on restart)
+    val q1 = mkQuery(Some(3))
+    intercept[Exception] { q1.awaitTermination() }
+    // restart: redelivered epoch is dropped by the idempotent sink
+    val q2 = mkQuery(None)
+    q2.awaitTermination()
+    val got = sink.readCommitted(spark).as[LabeledTurn].collect()
+    assert(got.toSet == batchOracle())
+    assert(got.length == batchOracle().size, "no duplicates under redelivery")
+  }
+
+  test("torn epoch (crash mid-write, before commit marker) is fully rewritten on retry") {
+    import spark.implicits._
+    val out = tmpDir("out3")
+    val sink = new ExactlyOnceParquetSink(out)
+    val df1 = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    // simulate a torn write: parquet written, no marker
+    df1.limit(1).write.mode("overwrite").parquet(s"$out/epoch=7")
+    assert(!sink.isCommitted(7))
+    sink.addBatch(df1, 7) // retry of the same epoch
+    sink.addBatch(df1, 7) // and a redelivery after commit: no-op
+    val got = sink.readCommitted(spark).select("k", "v").as[(String, Int)].collect().toSet
+    assert(got == Set(("a", 1), ("b", 2)))
+  }
+
+  test("late data below watermark is dropped (documented deviation: reference has no time axis)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Turn]
+    val result = AutomatonRunner.runStreaming(ms.toDS(), Handlers.ChangeDetector,
+      watermarkDelay = "10 minutes")
+    val q = result.writeStream.format("memory").queryName("late")
+      .outputMode("append").start()
+    try {
+      ms.addData(turn("c9", 0, 100, 98.0))
+      q.processAllAvailable()
+      ms.addData(eos(10000)) // watermark jumps far ahead
+      q.processAllAvailable()
+      ms.addData(turn("c9", 1, 101, 90.0)) // far below watermark -> dropped
+      q.processAllAvailable()
+      ms.addData(eos(20000))
+      q.processAllAvailable()
+      val got = spark.table("late").as[LabeledTurn].collect()
+      assert(got.map(_.turn_idx).toSet == Set(0))
+    } finally q.stop()
+  }
+}
