@@ -463,6 +463,29 @@ object Queries {
       },
       None),
 
+    // Two-phase SALTED aggregation (north rule: hot-key skew handling).
+    // Result is identical to the direct groupBy — salting is a physical
+    // strategy — so the oracle is simply the unsalted SQL.
+    Q("q39_salted_agg",
+      (s, d) => graft.shuffle.Salting.saltedAgg(
+          t(s, d, "events"), col("user_id"), col("event_id"), 16)(
+          partial = Seq(count(lit(1)).as("pn"), sum(col("value")).as("psum")),
+          merge = Seq(sum(col("pn")).as("n_events"),
+            round(sum(col("psum")), 2).as("sum_value")))
+        .withColumnRenamed("__key", "user_id"),
+      Some("""SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+             |FROM events GROUP BY user_id""".stripMargin)),
+
+    // Custom codegen'd Catalyst Expression (parse_temp) — verified against
+    // arithmetic the oracle can compute directly.
+    Q("q40_custom_expression",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.ParseTemp.parse_temp(
+            concat(lit("x temp="), col("n_chars").cast("string"), lit(".5 y")))
+            .as("temp")),
+      Some("SELECT doc_id, n_chars + 0.5 AS temp FROM documents")),
+
     Q("q38_multimodal_meta",
       (s, d) => MultimodalOps.decodeMeta(MultimodalOps.binarize(t(s, d, "documents"))).toDF(),
       Some("""SELECT doc_id, strlen(text) AS byte_len, strlen(text) % 64 AS width,

@@ -55,23 +55,29 @@ object TranscriptQueries {
     implicit val enc = labeledEnc(spark)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_t41_${System.nanoTime()}"
     val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
-    TranscriptTable.write(transcripts(spark), in, nBuckets = 8)
+    TranscriptTable.writeTimeSliced(transcripts(spark), in, sliceMinutes = 60)
     appendSentinel(spark, in)
-    val stream = FlowSource.stream(spark, in)
+    val stream = FlowSource.stream(spark, in, maxFilesPerTrigger = Some(4))
     val result = AutomatonRunner.runStreaming(stream, Handlers.ChangeDetector,
-      watermarkDelay = "10 minutes")
+      watermarkDelay = "90 minutes")
     val sink = FlowSink.runAvailableNow(result, out, ckpt)
     sink.readCommitted(spark).select("conv_id", "turn_idx", "status", "temp")
   }
 
-  /** Append one far-future sentinel turn so the final micro-batch's
-    * watermark passes every real event (drains buffers + fires timeouts). */
+  /** Append TWO far-future sentinel files (separate appends -> separate
+    * micro-batches) so the stream drains deterministically: the first
+    * sentinel raises the max event time; the second is processed AFTER the
+    * watermark has advanced past all real data, flushing every buffer and
+    * firing all timeouts — without relying on a trailing no-data batch
+    * (which a restarted AvailableNow query does not always run). This is the
+    * finite-job quiesce of the reference (`cluster.py:51-89`). */
   def appendSentinel(spark: SparkSession, dir: String): Unit = {
     import spark.implicits._
-    val eos = Seq(Turn(AutomatonRunner.SentinelConvId, 0, "system", "eos", "",
-      new Timestamp(4102444800000L))) // 2100-01-01
-    eos.toDS().withColumn(TranscriptTable.BucketCol, lit(999))
-      .write.mode("append").partitionBy(TranscriptTable.BucketCol).parquet(dir)
+    Seq(4102444800000L, 4102444860000L).zipWithIndex.foreach { case (ms, i) =>
+      Seq(Turn(AutomatonRunner.SentinelConvId, i, "system", "eos", "",
+        new Timestamp(ms))).toDS()
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
   }
 
   val all: Seq[Q] = Seq(
@@ -104,6 +110,20 @@ object TranscriptQueries {
         import s.implicits._
         AutomatonRunner.runBatch(transcripts(s), Handlers.Summarizer).toDF()
       },
+      None),
+    // columnar classify via the custom codegen'd ParseTemp expression —
+    // the whole-stage-codegen twin of the typed automaton path
+    Q("t48_classify_columnar",
+      (s, _) => transcripts(s).toDF()
+        .select(col("conv_id"), col("turn_idx"),
+          graft.functions.ParseTemp.parse_temp(col("text")).as("temp"))
+        .withColumn("status",
+          when(col("temp") < 97.0, "COLD")
+            .when(col("temp") > 99.0, "HOT").otherwise("NOMINAL")),
+      None),
+    // skew-safe per-conversation stats over a table with a hot conversation
+    Q("t49_salted_conv_stats",
+      (s, _) => graft.shuffle.Salting.convStatsSalted(transcripts(s).toDF()),
       None)
   )
 }

@@ -84,21 +84,20 @@ object TranscriptGen {
     var tsSec = startSec
     var temp = 98.0
     var idx = 0
-    var pendingTool = false // last emitted role decided a tool call happens next
+    var prevRole = ""
     val hasSystem = double01(hash(cfg.seed, convIdx, 3L)) < cfg.systemTurnProb
     while (idx < len) {
       val h = hash(cfg.seed, convIdx, 100L + idx)
-      // role cycle: [system]? (user [tool]? assistant)*
+      // role state machine: [system]? (user (tool assistant | assistant))*
       val role =
         if (idx == 0 && hasSystem) "system"
-        else if (pendingTool) "tool"
-        else {
-          // position within the exchange cycle
-          val base = if (hasSystem) idx - 1 else idx
-          if (base % 2 == 0) "user" else "assistant"
+        else prevRole match {
+          case "" | "system" | "assistant" => "user"
+          case "user" =>
+            if (double01(mix64(h ^ 7L)) < cfg.toolCallProb) "tool" else "assistant"
+          case "tool" => "assistant"
         }
-      if (role == "user" && double01(mix64(h ^ 7L)) < cfg.toolCallProb) pendingTool = true
-      else if (role == "tool") pendingTool = false
+      prevRole = role
       val tool = if (role == "tool") toolNames(((mix64(h ^ 11L) >>> 33) % toolNames.length).toInt) else ""
       // temperature random walk, reference steps {-2,-1,0,1,2}
       val step = ((mix64(h ^ 13L) >>> 33) % 5L).toInt - 2
@@ -111,9 +110,6 @@ object TranscriptGen {
       tsSec += 5L + ((mix64(h ^ 23L) >>> 33) % 121L)
       idx += 1
     }
-    // tool turns only make sense strictly between user and assistant; the
-    // while-loop role logic above can end a conversation on pendingTool —
-    // harmless: roles remain one of the four contract values.
     out.result()
   }
 

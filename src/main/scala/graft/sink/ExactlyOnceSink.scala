@@ -33,7 +33,13 @@ class ExactlyOnceParquetSink(val dir: String) extends Serializable {
 
   /** The foreachBatch body. Safe to call repeatedly with the same epochId. */
   def addBatch(df: DataFrame, epochId: Long): Unit = {
-    if (isCommitted(epochId)) return // redelivered epoch: drop (dedup)
+    if (isCommitted(epochId)) {
+      // redelivered epoch: drop the rows (dedup) — but still consume every
+      // partition so upstream stateful operators commit their state stores
+      // (Spark validates that foreachBatch processed the whole DataFrame)
+      df.foreach(_ => ())
+      return
+    }
     // overwrite handles a torn previous attempt of this same epoch
     df.write.mode("overwrite").parquet(epochDir(epochId))
     Files.createDirectories(commitsDir)

@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -49,6 +51,53 @@ object TranscriptTable {
   private def readSchema =
     Turn.schema.add(org.apache.spark.sql.types.StructField(
       BucketCol, org.apache.spark.sql.types.IntegerType, nullable = true))
+
+  /** Streaming-ingest layout: files land in EVENT-TIME order (one append per
+    * time slice), the way a live Iceberg/stream table actually grows. This
+    * matters semantically: the file source's watermark advances with each
+    * slice, so a consumer with watermark delay >= slice width never
+    * late-drops in-order data. Feeding a key-bucketed HISTORICAL table
+    * through the watermarking stream is a misuse (that's the batch path) —
+    * every file spans the whole time range and all but the first batch
+    * arrives below the watermark.
+    */
+  def writeTimeSliced(ds: Dataset[Turn], dir: String, sliceMinutes: Int = 30,
+                      filesPerSlice: Int = 2): Int = {
+    import java.nio.file.{Files, Path, Paths}
+    val width = sliceMinutes * 60L
+    val staged = dir.stripSuffix("/") + "__staged"
+    // ONE pass: tag each turn with its slice, co-locate (slice, file-bucket)
+    // and write everything partitioned by slice. filesPerSlice bounds the
+    // file count per slice: micro-batch admission is per FILE, so
+    // one-file-per-partition would explode the trigger count (and pay
+    // per-partition state-store open/commit on every tiny batch).
+    ds.withColumn("slice", floor(unix_timestamp(col("ts")) / width))
+      .repartition(col("slice"), pmod(xxhash64(col("conv_id")), lit(filesPerSlice)))
+      .write.mode("overwrite").partitionBy("slice").parquet(staged)
+    // move slice files into the stream dir with strictly increasing mtimes
+    // (the file source orders arrival by modification time) — this is the
+    // sandbox stand-in for files landing over time in a live table
+    Files.createDirectories(Paths.get(dir))
+    val sliceDirs = Files.list(Paths.get(staged)).iterator()
+      .asScala.filter(_.getFileName.toString.startsWith("slice="))
+      .toSeq.sortBy(p => p.getFileName.toString.stripPrefix("slice=").toLong)
+    val t0 = System.currentTimeMillis() - (sliceDirs.size + 10) * 1000L
+    sliceDirs.zipWithIndex.foreach { case (sd, k) =>
+      Files.list(sd).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).foreach { f =>
+          val dst = Paths.get(dir, f"slice$k%05d_${f.getFileName.toString}")
+          Files.move(f, dst)
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(t0 + k * 1000L))
+        }
+    }
+    def rmTree(p: Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(rmTree)
+      Files.deleteIfExists(p)
+    }
+    rmTree(Paths.get(staged))
+    sliceDirs.size
+  }
 
   /** Streaming read. `maxFilesPerTrigger` is the admission-control knob that
     * plays the role of the reference's adaptive batch sizing / bounded queues

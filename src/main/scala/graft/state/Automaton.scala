@@ -32,6 +32,42 @@ object AutomatonRunner {
   /** Rows with this conv_id are watermark-drivers only (see runStreaming). */
   val SentinelConvId = "__eos__"
 
+  /** Streaming state row as stored: a FLAT product type (binary, binary,
+    * int, long), so Spark encodes it through Tungsten with a trivial
+    * UnsafeProjection. Two profiling lessons are baked into this shape:
+    *  - a generic blob encoder (Encoders.kryo over the whole state) cost
+    *    ~1ms/key/micro-batch in object-graph serialization — minutes per
+    *    trigger at 100k active conversations;
+    *  - a nested `Seq[Turn]` column made Spark's per-task state-serializer
+    *    CODEGEN itself the bottleneck (array-of-struct writer generation,
+    *    regex-bound in CodeFormatter) — task threads spent whole triggers
+    *    generating code instead of running it.
+    * The automaton state `S` and the (post-contiguity rare, small) gap
+    * buffer travel as pooled-kryo blobs instead. */
+  final case class ConvStateRow(
+      sBytes: Array[Byte],
+      bufBytes: Array[Byte],
+      maxEmittedIdx: Int,
+      maxSeenTs: Long)
+
+  private object StateSer {
+    import org.apache.spark.{SparkConf, SparkEnv}
+    import org.apache.spark.serializer.{KryoSerializer, SerializerInstance}
+    private val pool = new ThreadLocal[SerializerInstance] {
+      override def initialValue(): SerializerInstance = {
+        val conf = Option(SparkEnv.get).map(_.conf).getOrElse(new SparkConf(false))
+        new KryoSerializer(conf).newInstance()
+      }
+    }
+    def ser(s: Any): Array[Byte] = {
+      val bb = pool.get().serialize(s)(scala.reflect.ClassTag.Any)
+      val arr = new Array[Byte](bb.remaining()); bb.get(arr); arr
+    }
+    def deser[S](b: Array[Byte]): S =
+      pool.get().deserialize(java.nio.ByteBuffer.wrap(b))(scala.reflect.ClassTag.Any)
+        .asInstanceOf[S]
+  }
+
   /** Batch execution: group, sort per key, fold. One conversation's turns
     * are materialized per task (bounded: conversations are short relative
     * to partitions; hot keys are the streaming path's problem — see
@@ -54,24 +90,21 @@ object AutomatonRunner {
 
   /** Checkpointed streaming state carried per conv_id.
     *
-    * `buffered` holds turns that arrived ahead of the event-time frontier
-    * (out-of-order arrivals across micro-batches); they are released into
-    * `onTurn` in `turn_idx` order once the watermark passes their `ts` —
-    * at that point no earlier-`ts` (hence, by per-conversation ts
-    * monotonicity, earlier-`turn_idx`) turn can still arrive without being
-    * late-dropped by Spark itself. `seenIdx` makes redelivery idempotent
-    * (the reference's `last_event_seen` dedup, `worker.py:158-175`).
+    * `buffered` holds only turns behind a GAP: `turn_idx` is dense per
+    * conversation, so a contiguous run starting at the next expected index
+    * is processed the moment it arrives (nothing earlier can still be in
+    * flight — it would occupy the gap we can see is absent). A turn behind
+    * a gap is released in `turn_idx` order either when the gap fills, or
+    * when the watermark passes its `ts` — at that point the missing turn
+    * could only arrive late and would be dropped by Spark's own watermark
+    * filter, so the gap is permanently lost and we advance past it. The
+    * common (ordered) case therefore keeps state at O(automaton) instead of
+    * O(in-flight turns): at 10^12-turn scale that's the difference between
+    * state IO being ~zero and state IO being twice the stream volume.
+    * `maxEmittedIdx` makes redelivery idempotent (the reference's
+    * `last_event_seen` dedup, `worker.py:158-175`).
     */
-  final case class ConvState[S](
-      s: S,
-      buffered: List[Turn],
-      maxEmittedIdx: Int,
-      maxSeenTs: Long)
-
   /** Streaming execution on flatMapGroupsWithState + EventTimeTimeout.
-    *
-    * Kryo-encodes the state (arbitrary user S) — the state store holds it
-    * as bytes, which is exactly how RocksDB state works at scale.
     *
     * @param idleGapMs a conversation with no new turns for this long past
     *                  the watermark is completed and its state evicted —
@@ -84,7 +117,7 @@ object AutomatonRunner {
       watermarkDelay: String = "10 minutes",
       idleGapMs: Long = 30 * 60 * 1000L): Dataset[O] = {
     import turns.sparkSession.implicits._
-    implicit val stateEnc: Encoder[ConvState[S]] = Encoders.kryo[ConvState[S]]
+    implicit val stateEnc: Encoder[ConvStateRow] = Encoders.product[ConvStateRow]
 
     turns
       .withWatermark("ts", watermarkDelay)
@@ -94,17 +127,21 @@ object AutomatonRunner {
       .filter(_.conv_id != AutomatonRunner.SentinelConvId)
       .groupByKey(_.conv_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (key: String, newTurns: Iterator[Turn], gs: GroupState[ConvState[S]]) =>
+        (key: String, newTurns: Iterator[Turn], gs: GroupState[ConvStateRow]) =>
           val st0 =
             if (gs.exists) gs.get
-            else ConvState(a.initial, Nil, -1, Long.MinValue)
+            else ConvStateRow(null, null, -1, Long.MinValue)
+          val s0: S =
+            if (st0.sBytes == null) a.initial else StateSer.deser[S](st0.sBytes)
+          val buffered: List[Turn] =
+            if (st0.bufBytes == null) Nil else StateSer.deser[List[Turn]](st0.bufBytes)
 
           if (gs.hasTimedOut) {
             // conversation idle past the gap: flush any stragglers in order,
             // then complete and evict state.
-            var s = st0.s
+            var s = s0
             val out = Vector.newBuilder[O]
-            st0.buffered.sortBy(_.turn_idx).foreach { t =>
+            buffered.sortBy(_.turn_idx).foreach { t =>
               val (s2, os) = a.onTurn(s, t); s = s2; out ++= os
             }
             out ++= a.onComplete(s)
@@ -112,24 +149,36 @@ object AutomatonRunner {
             out.result().iterator
           } else {
             val wm = gs.getCurrentWatermarkMs()
-            // dedup redelivered turns (idempotence under replay), then buffer
-            val fresh = newTurns.filter(t => t.turn_idx > st0.maxEmittedIdx &&
-              !st0.buffered.exists(_.turn_idx == t.turn_idx)).toList
-            var buf = st0.buffered ++ fresh
+            // dedup redelivered turns (idempotence under replay)
+            val seenIdx = buffered.iterator.map(_.turn_idx).toSet
+            val fresh = newTurns.filter(t =>
+              t.turn_idx > st0.maxEmittedIdx && !seenIdx.contains(t.turn_idx)).toList
             var maxTs = st0.maxSeenTs
             fresh.foreach(t => maxTs = math.max(maxTs, t.ts.getTime))
-            // release the frontier-safe prefix in turn_idx order
-            val (ready, hold) = buf.sortBy(_.turn_idx).partition(_.ts.getTime <= wm)
-            var s = st0.s
-            var maxIdx = st0.maxEmittedIdx
+            // walk in turn_idx order; process contiguous turns immediately,
+            // skip over gaps the watermark has closed, hold the rest
+            val all = (buffered ++ fresh).sortBy(_.turn_idx)
+            var s = s0
+            var next = st0.maxEmittedIdx + 1
             val out = Vector.newBuilder[O]
-            ready.foreach { t =>
-              val (s2, os) = a.onTurn(s, t)
-              s = s2; out ++= os; maxIdx = math.max(maxIdx, t.turn_idx)
+            val hold = List.newBuilder[Turn]
+            var stopped = false
+            all.foreach { t =>
+              if (!stopped && (t.turn_idx == next || t.ts.getTime <= wm)) {
+                val (s2, os) = a.onTurn(s, t)
+                s = s2; out ++= os; next = t.turn_idx + 1
+              } else {
+                stopped = true; hold += t
+              }
             }
-            gs.update(ConvState(s, hold, maxIdx, maxTs))
+            val held = hold.result()
+            gs.update(ConvStateRow(StateSer.ser(s),
+              if (held.isEmpty) null else StateSer.ser(held), next - 1, maxTs))
             // evict when the watermark passes last activity + idle gap
-            if (maxTs != Long.MinValue) gs.setTimeoutTimestamp(maxTs + idleGapMs)
+            // (clamped above the current watermark — Spark rejects a
+            // timeout that is already in the past)
+            if (maxTs != Long.MinValue)
+              gs.setTimeoutTimestamp(math.max(maxTs + idleGapMs, wm + 1))
             out.result().iterator
           }
       }

@@ -37,11 +37,11 @@ class StreamingSpec extends SparkSpec {
   test("streaming automaton == batch automaton over a finite stream (drain via sentinel)") {
     import spark.implicits._
     val in = tmpDir("in"); val out = tmpDir("out"); val ck = tmpDir("ck")
-    TranscriptTable.write(TranscriptGen.dataset(spark, cfg), in, nBuckets = 4)
+    TranscriptTable.writeTimeSliced(TranscriptGen.dataset(spark, cfg), in, sliceMinutes = 60)
     TranscriptQueries.appendSentinel(spark, in)
     val result = AutomatonRunner.runStreaming(
-      FlowSource.stream(spark, in, maxFilesPerTrigger = Some(2)),
-      Handlers.ChangeDetector, watermarkDelay = "10 minutes")
+      FlowSource.stream(spark, in, maxFilesPerTrigger = Some(1)),
+      Handlers.ChangeDetector, watermarkDelay = "90 minutes")
     val sink = FlowSink.runAvailableNow(result, out, ck)
     val got = sink.readCommitted(spark).as[LabeledTurn].collect().toSet
     assert(got == batchOracle())
@@ -57,10 +57,10 @@ class StreamingSpec extends SparkSpec {
       .outputMode("append").start()
     try {
       // batch 1: turns 2,3 arrive BEFORE turns 0,1 (within watermark delay)
-      ms.addData(turn("c1", 2, 20, 100.0), turn("c1", 3, 30, 100.5))
+      ms.addData(turn("c1", 2, 120, 100.0), turn("c1", 3, 130, 100.5))
       q.processAllAvailable()
-      // batch 2: the earlier turns show up late but above watermark
-      ms.addData(turn("c1", 0, 0, 98.0), turn("c1", 1, 10, 96.0))
+      // batch 2: the earlier turns show up late but above watermark (wm=100)
+      ms.addData(turn("c1", 0, 101, 98.0), turn("c1", 1, 110, 96.0))
       q.processAllAvailable()
       // push watermark far past everything -> full drain
       ms.addData(eos(10000))
@@ -77,13 +77,13 @@ class StreamingSpec extends SparkSpec {
   test("kill mid-stream + restart from checkpoint: output unchanged, exactly once") {
     import spark.implicits._
     val in = tmpDir("in2"); val out = tmpDir("out2"); val ck = tmpDir("ck2")
-    TranscriptTable.write(TranscriptGen.dataset(spark, cfg), in, nBuckets = 8)
+    TranscriptTable.writeTimeSliced(TranscriptGen.dataset(spark, cfg), in, sliceMinutes = 60)
     TranscriptQueries.appendSentinel(spark, in)
     val sink = new ExactlyOnceParquetSink(out)
     def mkQuery(failAfter: Option[Int]) = {
       val result = AutomatonRunner.runStreaming(
         FlowSource.stream(spark, in, maxFilesPerTrigger = Some(1)),
-        Handlers.ChangeDetector, watermarkDelay = "10 minutes")
+        Handlers.ChangeDetector, watermarkDelay = "90 minutes")
       var n = 0
       result.writeStream.outputMode("append")
         .option("checkpointLocation", ck)
