@@ -54,8 +54,6 @@ def main(sf_dir, out_dir):
         try:
             tbl = pq.read_table(f"{out_dir}/{name}")
             scols = tbl.column_names
-            srows = [tuple(c[i] for c in tbl.to_pydict().values())
-                     for i in range(tbl.num_rows)]
             srows = [tuple(r) for r in zip(*[tbl.column(c).to_pylist()
                      for c in scols])] if tbl.num_rows else []
         except Exception as e:
