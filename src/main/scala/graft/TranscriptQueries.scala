@@ -124,6 +124,14 @@ object TranscriptQueries {
     // skew-safe per-conversation stats over a table with a hot conversation
     Q("t49_salted_conv_stats",
       (s, _) => graft.shuffle.Salting.convStatsSalted(transcripts(s).toDF()),
+      None),
+    // exact dedup under redelivery: input with every turn duplicated must
+    // come out single (the streaming twin is pinned in DedupStreamSpec)
+    Q("t50_dedup_redelivery",
+      (s, _) => {
+        val t = transcripts(s)
+        graft.operators.StreamingDedup.exact(t.union(t)).toDF()
+      },
       None)
   )
 }

@@ -1,0 +1,54 @@
+package graft
+
+/** Plan hygiene: the declarative operators must actually get the Catalyst
+  * treatment the 100 TB story depends on — filters and projections pushed
+  * into the parquet scan, broadcast joins where hinted, whole-stage
+  * codegen spans in the hot paths. This pins the PLAN, not just results. */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString()
+
+  test("filter + projection are pushed down to the parquet scan (q02)") {
+    val plan = planOf("q02_filter_project")
+    assert(plan.contains("PushedFilters:") &&
+      (plan.contains("GreaterThanOrEqual(l_quantity,45.0)") ||
+       plan.contains("GreaterThanOrEqual(l_quantity")),
+      s"pushdown missing in:\n$plan")
+    // column pruning: scan must not read all 11 lineitem columns
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_shipdate") || readSchema.count(_ == ',') < 8,
+      s"scan reads too many columns: $readSchema")
+  }
+
+  test("broadcast hint produces a BroadcastHashJoin (q03)") {
+    assert(planOf("q03_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("semi/anti joins plan as join strategies, not subquery re-scans") {
+    assert(planOf("q05_semi_join").contains("LeftSemi"))
+    assert(planOf("q06_anti_join").contains("LeftAnti"))
+  }
+
+  test("aggregations get map-side partial aggregation (q01)") {
+    val plan = planOf("q01_agg_pricing")
+    assert(plan.contains("HashAggregate"))
+    // partial + final pair => two HashAggregate nodes around the exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2)
+  }
+
+  // '*(N)' prefixes in executedPlan.toString mark whole-stage-codegen stages
+  test("whole-stage codegen covers the scan->filter->project hot path (q02)") {
+    val plan = planOf("q02_filter_project")
+    assert(plan.contains("*(1) Project") && plan.contains("*(1) Filter"),
+      s"no codegen span in:\n$plan")
+  }
+
+  test("custom parse_temp expression participates in codegen (q40)") {
+    val plan = planOf("q40_custom_expression")
+    assert(plan.contains("*(1) Project"), s"no codegen span in:\n$plan")
+    assert(plan.contains("parse_temp"), s"expression missing in:\n$plan")
+  }
+}
