@@ -57,6 +57,31 @@ class WindowsSpec extends SparkSpec {
       ("B", ts(41), ts(71), 1L)))
   }
 
+  test("streaming session window with watermark matches batch contents") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Turn]
+    val agg = Windows.session(ms.toDS(), "30 minutes", watermark = Some("15 minutes"))
+      .selectExpr("win.start as s", "win.end as e", "conv_id", "n_turns")
+    val q = agg.writeStream.format("memory").queryName("wsess")
+      .outputMode("append").start()
+    try {
+      ms.addData(turn("A", 0, 60), turn("A", 1, 69), turn("B", 0, 65))
+      q.processAllAvailable()
+      ms.addData(turn("A", 2, 85), turn("B", 1, 101)) // A merges; B splits
+      q.processAllAvailable()
+      ms.addData(turn("__eos__", 0, 10000))
+      q.processAllAvailable()
+      val got = spark.table("wsess").collect()
+        .map(r => (r.getString(2), r.getTimestamp(0), r.getTimestamp(1), r.getLong(3)))
+        .toSet
+      assert(got == Set(
+        ("A", ts(60), ts(115), 3L),   // 60,69,85 one session (gaps < 30)
+        ("B", ts(65), ts(95), 1L),    // 65; next at 101 >= 95 -> new session
+        ("B", ts(101), ts(131), 1L)))
+    } finally q.stop()
+  }
+
   test("streaming tumbling window with watermark matches batch contents") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
