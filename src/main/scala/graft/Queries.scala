@@ -463,6 +463,24 @@ object Queries {
       },
       None),
 
+    // Scalar-subquery pattern: each row against a global aggregate. Spark
+    // plans the windowed form as one pass + broadcast of the single value.
+    Q("q41_scalar_subquery",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        t(s, d, "orders")
+          // the inner round pins the scalar to a grid so both engines
+          // divide by the bit-identical value
+          .withColumn("avg_price",
+            round(avg("o_totalprice").over(Window.partitionBy()), 4))
+          .select(col("o_orderkey"),
+            round(col("o_totalprice") / col("avg_price"), 6).as("price_ratio"))
+      },
+      Some("""SELECT o_orderkey,
+             |  round(o_totalprice / (SELECT round(avg(o_totalprice), 4) FROM orders), 6)
+             |    AS price_ratio
+             |FROM orders""".stripMargin)),
+
     // Two-phase SALTED aggregation (north rule: hot-key skew handling).
     // Result is identical to the direct groupBy — salting is a physical
     // strategy — so the oracle is simply the unsalted SQL.
