@@ -125,6 +125,16 @@ object TranscriptQueries {
     Q("t49_salted_conv_stats",
       (s, _) => graft.shuffle.Salting.convStatsSalted(transcripts(s).toDF()),
       None),
+    // the custom Catalyst operator (LogicalPlan+Strategy+SparkPlan): sort-
+    // based streaming fold — O(state) memory per key at any conversation
+    // size (equality with the object path pinned in ConversationFoldSpec)
+    Q("t51_native_fold",
+      (s, _) => {
+        import s.implicits._
+        graft.plans.ConversationFold.run(transcripts(s), Handlers.ChangeDetector)
+          .toDF().select("conv_id", "turn_idx", "status", "temp")
+      },
+      None),
     // exact dedup under redelivery: input with every turn duplicated must
     // come out single (the streaming twin is pinned in DedupStreamSpec)
     Q("t50_dedup_redelivery",
