@@ -32,6 +32,9 @@ case class ConversationFoldPlan(
     override val output: Seq[Attribute],
     child: LogicalPlan) extends UnaryNode {
   override def producedAttributes: AttributeSet = AttributeSet(output)
+  // the fold deserializes whole Turn rows: every child column is consumed
+  // (without this, ColumnPruning would project the child down to nothing)
+  override lazy val references: AttributeSet = child.outputSet
   override protected def withNewChildInternal(newChild: LogicalPlan): ConversationFoldPlan =
     copy(child = newChild)
 }
