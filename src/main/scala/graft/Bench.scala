@@ -53,6 +53,13 @@ object Bench {
       // state-store snapshot maintenance contends with task threads on the
       // same providers; for a finite bench run deltas are few — defer it
       .config("spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
+      // SPARK_GRAFT_STATE=rocksdb benches the RocksDB provider (the scale
+      // path when per-executor state exceeds heap); default HDFS-backed
+      .config("spark.sql.streaming.stateStore.providerClass",
+        if (sys.env.get("SPARK_GRAFT_STATE").contains("rocksdb"))
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        else
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
       // HDFS-backed (in-memory + snapshot) state store: right provider for
       // state that fits executor memory; RocksDB (proven in the test suite)
       // is for when per-executor state exceeds heap — at this bench size its
