@@ -463,16 +463,17 @@ object Queries {
       },
       None),
 
-    // Scalar-subquery pattern: each row against a global aggregate. Spark
-    // plans the windowed form as one pass + broadcast of the single value.
+    // Scalar-subquery pattern: each row against a global aggregate. The
+    // scalar is a partial+final 1-row aggregate cross-joined back via
+    // broadcast — NO Exchange SinglePartition anywhere in the plan (an
+    // empty-key Window would funnel the whole table through one task).
     Q("q41_scalar_subquery",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        t(s, d, "orders")
-          // the inner round pins the scalar to a grid so both engines
-          // divide by the bit-identical value
-          .withColumn("avg_price",
-            round(avg("o_totalprice").over(Window.partitionBy()), 4))
+        val orders = t(s, d, "orders")
+        // the inner round pins the scalar to a grid so both engines
+        // divide by the bit-identical value
+        val avgPrice = orders.agg(round(avg("o_totalprice"), 4).as("avg_price"))
+        orders.crossJoin(broadcast(avgPrice))
           .select(col("o_orderkey"),
             round(col("o_totalprice") / col("avg_price"), 6).as("price_ratio"))
       },

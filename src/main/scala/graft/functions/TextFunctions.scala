@@ -22,18 +22,44 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** Word n-gram shingles: positions 1..max(len-n+1, 1), each a space-joined
-    * slice of up to n tokens (tail shingles shorter when len < n). */
-  def shingles(text: Column, n: Int = 3): Column =
-    transform(
-      sequence(lit(1), greatest(size(tokens(text)) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(tokens(text), i, lit(n))))
+  /** Evaluate `c` exactly once per row and hand it to `f` as a bound lambda
+    * variable. Higher-order functions are interpreted (CodegenFallback) and
+    * re-evaluate any subexpression embedded in their lambda PER ELEMENT —
+    * e.g. a `split` inside a `transform` lambda turns an O(tokens) shingle
+    * build into O(tokens^2) (measured: 91% of the round-1 bench). Routing
+    * the value through a 1-element `transform` makes every inner reference a
+    * cheap lambda-variable read. Catalyst's CollapseProject/CSE do not
+    * guarantee this on their own, so the barrier is explicit. */
+  def bound(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
 
-  /** MinHash signature entry for one seed: the lexicographic minimum of the
-    * seeded md5 over the document's shingle set. P[minhash equal] ~= Jaccard
-    * similarity of the shingle sets — the standard LSH estimator. */
+  /** Word n-gram shingles from a pre-tokenized array: positions
+    * 1..max(len-n+1, 1), each a space-joined slice of up to n tokens
+    * (tail shingles shorter when len < n). `toks` must be a cheap
+    * reference (attribute or lambda variable). */
+  def shinglesOf(toks: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+
+  /** Word n-gram shingles of `text` — tokenizes exactly once per row. */
+  def shingles(text: Column, n: Int = 3): Column =
+    bound(tokens(text))(toks => shinglesOf(toks, n))
+
+  /** All seeded minhashes in ONE pass: the shingle array is built once per
+    * row, then each seed takes the lexicographic minimum of its seeded md5
+    * over it. P[minhash equal] ~= Jaccard similarity of the shingle sets —
+    * the standard LSH estimator. Returns array<string> aligned with
+    * `seeds`. */
+  def minhashAll(text: Column, seeds: Seq[String], n: Int = 3): Column =
+    bound(shingles(text, n))(sh =>
+      array(seeds.map(s =>
+        array_min(transform(sh, x => md5(concat(lit(s + ":"), x))))): _*))
+
+  /** Single-seed minhash (see minhashAll for the batched form). */
   def minhash(text: Column, seed: String, n: Int = 3): Column =
-    array_min(transform(shingles(text, n), s => md5(concat(lit(seed + ":"), s))))
+    bound(shingles(text, n))(sh =>
+      array_min(transform(sh, x => md5(concat(lit(seed + ":"), x)))))
 
   /** Document fingerprint: md5 of the lowercased text (exact-dup key). */
   def fingerprint(text: Column): Column = md5(lower(text))

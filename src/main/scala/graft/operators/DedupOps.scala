@@ -30,24 +30,37 @@ object DedupOps {
 
   val MinhashSeeds: Seq[String] = (1 to 8).map(i => s"s$i")
 
-  /** Per-doc minhash signatures, exploded to (doc_id, seed, minhash) rows. */
-  def minhashSignatures(docs: DataFrame, shingleN: Int = 3): DataFrame = {
-    val sig = map_from_arrays(
-      array(MinhashSeeds.map(lit(_)): _*),
-      array(MinhashSeeds.map(s => minhash(col("text"), s, shingleN)): _*))
-    docs.select(col("doc_id"), explode(sig).as(Seq("seed", "mh")))
-  }
+  /** Per-doc minhash signatures, exploded to (doc_id, seed, minhash) rows.
+    * One tokenize + one shingle build + 8 md5-min passes per doc
+    * (TextFunctions.minhashAll) — the signature stage is strictly
+    * O(tokens * seeds) per document. */
+  def minhashSignatures(docs: DataFrame, shingleN: Int = 3): DataFrame =
+    docs.select(col("doc_id"),
+      explode(map_from_arrays(
+        array(MinhashSeeds.map(lit(_)): _*),
+        minhashAll(col("text"), MinhashSeeds, shingleN))).as(Seq("seed", "mh")))
 
   /** LSH candidate pairs: docs sharing a minhash on ANY seed (banded LSH
-    * with band size 1). Distinct (doc_a < doc_b) pairs. */
+    * with band size 1). Distinct (doc_a < doc_b) pairs.
+    *
+    * Shape: group signatures by (seed, minhash) bucket and emit in-bucket
+    * pairs — signatures are computed exactly ONCE (a self-join would run
+    * the whole signature stage twice) and the only shuffle is the bucket
+    * groupBy. A bucket's pair fan-out is quadratic in the collision-group
+    * size, which is the irreducible cost of LSH candidate generation; at
+    * corpus scale, run `exact` dedup first so identical documents (the one
+    * source of degenerate buckets) collapse to a single representative. */
   def minhashLshPairs(docs: DataFrame, shingleN: Int = 3): DataFrame = {
-    val sig = minhashSignatures(docs, shingleN)
-    val a = sig.select(col("seed"), col("mh"), col("doc_id").as("doc_a"))
-    val b = sig.select(col("seed").as("seed_b"), col("mh").as("mh_b"),
-      col("doc_id").as("doc_b"))
-    a.join(b, col("seed") === col("seed_b") && col("mh") === col("mh_b") &&
-        col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val buckets = minhashSignatures(docs, shingleN)
+      .groupBy("seed", "mh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    buckets
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
   }
 
   /** Exact n-gram Jaccard similarity for a set of candidate pairs
