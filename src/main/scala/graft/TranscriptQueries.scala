@@ -118,7 +118,11 @@ object TranscriptQueries {
         .select(col("conv_id"), col("turn_idx"),
           graft.functions.ParseTemp.parse_temp(col("text")).as("temp"))
         .withColumn("status",
-          when(col("temp") < 97.0, "COLD")
+          // Spark SQL orders NaN above every double, so `temp > 99` would
+          // classify a missing payload HOT; the typed twin (Handlers
+          // .classify) yields NOMINAL for NaN — guard to keep them equal
+          when(isnan(col("temp")), "NOMINAL")
+            .when(col("temp") < 97.0, "COLD")
             .when(col("temp") > 99.0, "HOT").otherwise("NOMINAL")),
       None),
     // skew-safe per-conversation stats over a table with a hot conversation

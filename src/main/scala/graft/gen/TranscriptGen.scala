@@ -104,7 +104,10 @@ object TranscriptGen {
       temp += step
       val w1 = words(((mix64(h ^ 17L) >>> 33) % words.length).toInt)
       val w2 = words(((mix64(h ^ 19L) >>> 33) % words.length).toInt)
-      val text = f"$role turn $idx%d of $id: $w1 $w2 temp=$temp%.1f"
+      // Locale.ROOT: a comma-decimal default locale would render temp=98,0
+      // and break the bit-identical-across-machines determinism claim
+      val tempStr = String.format(java.util.Locale.ROOT, "%.1f", Double.box(temp))
+      val text = s"$role turn $idx of $id: $w1 $w2 temp=$tempStr"
       out += Turn(id, idx, role, text, tool, new Timestamp(tsSec * 1000L))
       // strictly increasing ts within the conversation: 5..125 sec gaps
       tsSec += 5L + ((mix64(h ^ 23L) >>> 33) % 121L)

@@ -51,9 +51,13 @@ class ExactlyOnceParquetSink(val dir: String) extends Serializable {
 
   def committedEpochs(): Seq[Long] =
     if (!Files.exists(commitsDir)) Seq.empty
-    else Files.list(commitsDir).iterator().asScala
-      .map(_.getFileName.toString).filterNot(_.startsWith("."))
-      .map(_.toLong).toSeq.sorted
+    else {
+      val s = Files.list(commitsDir)
+      try s.iterator().asScala
+        .map(_.getFileName.toString).filterNot(_.startsWith("."))
+        .map(_.toLong).toSeq.sorted
+      finally s.close()
+    }
 
   /** Read back exactly the committed epochs (uncommitted dirs invisible). */
   def readCommitted(spark: SparkSession): DataFrame = {

@@ -78,12 +78,16 @@ object TranscriptTable {
     // (the file source orders arrival by modification time) — this is the
     // sandbox stand-in for files landing over time in a live table
     Files.createDirectories(Paths.get(dir))
-    val sliceDirs = Files.list(Paths.get(staged)).iterator()
-      .asScala.filter(_.getFileName.toString.startsWith("slice="))
-      .toSeq.sortBy(p => p.getFileName.toString.stripPrefix("slice=").toLong)
+    def listDir(p: Path): Seq[Path] = {
+      val s = Files.list(p)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+    val sliceDirs = listDir(Paths.get(staged))
+      .filter(_.getFileName.toString.startsWith("slice="))
+      .sortBy(p => p.getFileName.toString.stripPrefix("slice=").toLong)
     val t0 = System.currentTimeMillis() - (sliceDirs.size + 10) * 1000L
     sliceDirs.zipWithIndex.foreach { case (sd, k) =>
-      Files.list(sd).iterator().asScala
+      listDir(sd)
         .filter(_.getFileName.toString.endsWith(".parquet")).foreach { f =>
           val dst = Paths.get(dir, f"slice$k%05d_${f.getFileName.toString}")
           Files.move(f, dst)
@@ -92,7 +96,7 @@ object TranscriptTable {
         }
     }
     def rmTree(p: Path): Unit = {
-      if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(rmTree)
+      if (Files.isDirectory(p)) listDir(p).foreach(rmTree)
       Files.deleteIfExists(p)
     }
     rmTree(Paths.get(staged))

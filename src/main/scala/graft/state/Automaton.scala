@@ -141,7 +141,10 @@ object AutomatonRunner {
             // then complete and evict state.
             var s = s0
             val out = Vector.newBuilder[O]
-            buffered.sortBy(_.turn_idx).foreach { t =>
+            // defensive: drop already-emitted indices and duplicate copies —
+            // onTurn must fire exactly once per turn_idx even under replay
+            buffered.sortBy(_.turn_idx).distinctBy(_.turn_idx)
+              .filter(_.turn_idx > st0.maxEmittedIdx).foreach { t =>
               val (s2, os) = a.onTurn(s, t); s = s2; out ++= os
             }
             out ++= a.onComplete(s)
@@ -156,15 +159,21 @@ object AutomatonRunner {
             var maxTs = st0.maxSeenTs
             fresh.foreach(t => maxTs = math.max(maxTs, t.ts.getTime))
             // walk in turn_idx order; process contiguous turns immediately,
-            // skip over gaps the watermark has closed, hold the rest
-            val all = (buffered ++ fresh).sortBy(_.turn_idx)
+            // skip over gaps the watermark has closed, hold the rest.
+            // distinctBy collapses two copies of one turn_idx arriving in
+            // the SAME micro-batch (the fresh filter only sees state from
+            // the previous trigger); the `< next` guard drops a duplicate
+            // of anything emitted earlier in this very walk — without both,
+            // onTurn would fire twice for a within-batch redelivery.
+            val all = (buffered ++ fresh).sortBy(_.turn_idx).distinctBy(_.turn_idx)
             var s = s0
             var next = st0.maxEmittedIdx + 1
             val out = Vector.newBuilder[O]
             val hold = List.newBuilder[Turn]
             var stopped = false
             all.foreach { t =>
-              if (!stopped && (t.turn_idx == next || t.ts.getTime <= wm)) {
+              if (t.turn_idx < next) ()
+              else if (!stopped && (t.turn_idx == next || t.ts.getTime <= wm)) {
                 val (s2, os) = a.onTurn(s, t)
                 s = s2; out ++= os; next = t.turn_idx + 1
               } else {

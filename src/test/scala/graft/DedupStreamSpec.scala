@@ -36,4 +36,30 @@ class DedupStreamSpec extends SparkSpec {
     val in = Seq(t("d2", 0, 0), t("d2", 0, 0), t("d2", 1, 5)).toDS()
     assert(StreamingDedup.exact(in).count() == 2)
   }
+
+  test("automaton: a within-batch duplicate fires onTurn exactly once") {
+    // Regression: two copies of one turn_idx in the SAME micro-batch — the
+    // first is processed (contiguous), a naive walk buffers the second and
+    // re-processes it when the watermark later releases the buffer.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    object Echo extends graft.state.TurnAutomaton[Int, (String, Int)] {
+      def initial: Int = 0
+      def onTurn(s: Int, turn: Turn): (Int, Seq[(String, Int)]) =
+        (s + 1, Seq((turn.conv_id, turn.turn_idx)))
+    }
+    val ms = MemoryStream[Turn]
+    val q = graft.state.AutomatonRunner
+      .runStreaming(ms.toDS(), Echo, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("dupwalk").outputMode("append").start()
+    try {
+      ms.addData(t("a", 0, 0), t("a", 1, 5), t("a", 1, 5)) // dup idx 1 in-batch
+      q.processAllAvailable()
+      // push the watermark far past idx 1 so any buffered copy is released
+      ms.addData(t("a", 2, 120))
+      q.processAllAvailable()
+      val got = spark.table("dupwalk").as[(String, Int)].collect().toSeq
+      assert(got.sorted == Seq(("a", 0), ("a", 1), ("a", 2)), s"got $got")
+    } finally q.stop()
+  }
 }

@@ -42,7 +42,7 @@ class HandlerEquivalenceSpec extends SparkSpec {
   }
 
   test("classify thresholds match reference semantics") {
-    val mk = (temp: Double) => Turn("c", 0, "user", f"x temp=$temp%.1f", "",
+    val mk = (temp: Double) => Turn("c", 0, "user", s"x temp=${String.format(java.util.Locale.ROOT, "%.1f", Double.box(temp))}", "",
       new java.sql.Timestamp(0L))
     assert(Handlers.classify(mk(96.9)).head.status == "COLD")
     assert(Handlers.classify(mk(97.0)).head.status == "NOMINAL")

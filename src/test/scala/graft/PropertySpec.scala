@@ -24,7 +24,7 @@ class PropertySpec extends SparkSpec {
     lens.zipWithIndex.flatMap { case (len, c) =>
       (0 until len).map { i =>
         val temp = math.round(temps(k) * 10) / 10.0; k += 1
-        Turn(s"pc$c", i, "user", f"x temp=$temp%.1f", "",
+        Turn(s"pc$c", i, "user", s"x temp=${String.format(java.util.Locale.ROOT, "%.1f", Double.box(temp))}", "",
           new Timestamp((c * 100000L + i * 61L) * 1000L))
       }
     }

@@ -24,7 +24,7 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
   private def turn(c: String, i: Int, min: Long, temp: Double): Turn =
-    Turn(c, i, "user", f"x temp=$temp%.1f", "", ts(min))
+    Turn(c, i, "user", s"x temp=${String.format(java.util.Locale.ROOT, "%.1f", Double.box(temp))}", "", ts(min))
   private def eos(min: Long): Turn =
     Turn(SentinelConvId, 0, "system", "eos", "", ts(min))
 
