@@ -337,6 +337,19 @@ object Queries {
       |  FROM mh a JOIN mh b ON a.s = b.s AND a.mh = b.mh AND a.doc_id < b.doc_id)
       |""".stripMargin
 
+  /** SQL form of VectorFunctions.lshBucket over a column named `emb`
+    * (DOUBLE[]): the hyperplane weights are the SAME md5-derived dyadic
+    * rationals as the Spark plan literals, and list_dot_product accumulates
+    * in the same dimension order, so the sign (hence the bucket) is
+    * bit-identical across engines. */
+  private def lshBucketSql(dim: Int, nBits: Int): String =
+    (0 until nBits).map { b =>
+      val ws = (0 until dim)
+        .map(d => s"${graft.functions.VectorFunctions.planeH16(b, d)}/32768.0 - 1.0")
+        .mkString(", ")
+      s"(CASE WHEN list_dot_product(emb, [$ws]) >= 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+
   private def simhashSql: String = {
     val nib = (i: Int) => s"(instr('0123456789abcdef', substr(md5(tok), $i, 1)) - 1)"
     val h16 = s"${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}"
@@ -454,14 +467,36 @@ object Queries {
              |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
              |    CAST(b.embedding AS DOUBLE[])), 6) >= 0.25""".stripMargin)),
 
-    // LSH-bucketed ANN: bucket assignment uses splitmix64-derived projections
-    // (not SQL-expressible) -> rows-only check; exactness covered by q35.
+    // The bucketed (production-scale) twin of q36: hash-join on the LSH
+    // bucket, exact cosine only on in-bucket candidates. Oracle replays the
+    // md5-derived hyperplane matrix bit-exactly (weights are dyadic
+    // rationals; list_dot_product is the same left-fold as the Spark
+    // projection).
+    Q("q36b_embed_neardup_lsh",
+      (s, d) => SimilarityOps.cosineNearDupPairsBucketed(
+        t(s, d, "embeddings"), 0.25, dim = 64, nBits = 4),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              |b AS (SELECT vec_id, emb, ${lshBucketSql(64, 4)} AS bucket FROM e)
+              |SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+              |  round(list_cosine_similarity(a.emb, c.emb), 6) AS cos
+              |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+              |WHERE round(list_cosine_similarity(a.emb, c.emb), 6) >= 0.25""".stripMargin)),
+
+    // LSH-bucketed ANN (same md5-replayable bucket as q36b).
     Q("q37_ann_lsh",
       (s, d) => {
         val emb = t(s, d, "embeddings")
         SimilarityOps.lshTopK(emb, emb.filter(col("vec_id") < 10), dim = 64, k = 5, nBits = 4)
       },
-      None),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              |b AS (SELECT vec_id, emb, ${lshBucketSql(64, 4)} AS bucket FROM e),
+              |q AS (SELECT vec_id AS query_id, emb AS qe, bucket FROM b WHERE vec_id < 10),
+              |s AS (SELECT q.query_id, c.vec_id AS cand_id,
+              |    round(list_cosine_similarity(q.qe, c.emb), 6) AS cos
+              |  FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.query_id),
+              |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              |    ORDER BY cos DESC, cand_id) AS INT) AS rk FROM s)
+              |SELECT query_id, cand_id, cos, rk FROM r WHERE rk <= 5""".stripMargin)),
 
     // Scalar-subquery pattern: each row against a global aggregate. The
     // scalar is a partial+final 1-row aggregate cross-joined back via

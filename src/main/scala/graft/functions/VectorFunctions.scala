@@ -22,23 +22,33 @@ object VectorFunctions {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
 
+  /** 16-bit hash of "bit:dim" from the first 2 bytes of its md5 — the same
+    * engine-replayable derivation as TextFunctions.tokenHash16, so a SQL
+    * oracle can regenerate the identical hyperplane matrix. */
+  def planeH16(bit: Int, d: Int): Int = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$bit:$d".getBytes("UTF-8"))
+    ((h(0) & 0xff) << 8) | (h(1) & 0xff)
+  }
+
+  /** Hyperplane weight in [-1, 1): exactly h16/32768 - 1 — a dyadic
+    * rational, bit-identical in any IEEE-double engine. */
+  def planeWeight(bit: Int, d: Int): Double = planeH16(bit, d) / 32768.0 - 1.0
+
   /** Random-hyperplane LSH bucket: sign bits of `nBits` deterministic
-    * pseudo-random projections. Two vectors share a bucket with probability
-    * rising in their cosine — the scale path for ANN: group by bucket, then
+    * projections. Two vectors share a bucket with probability rising in
+    * their cosine — the scale path for ANN: group by bucket, then
     * brute-force only within buckets (candidate set shrinks ~2^nBits-fold).
-    * The projection "matrix" is generated from splitmix64(seed, bit, dim) so
-    * executors need no broadcast side-channel and any cluster size computes
-    * identical buckets. */
-  def lshBucket(v: Column, dim: Int, nBits: Int = 8, seed: Long = 42L): Column = {
-    def proj(bit: Int): Column = {
-      val terms = (0 until dim).map { d =>
-        val h = graft.gen.TranscriptGen.hash(seed, bit.toLong, d.toLong)
-        // uniform in [-1, 1)
-        val w = graft.gen.TranscriptGen.double01(h) * 2.0 - 1.0
-        element_at(v, d + 1).cast("double") * lit(w)
-      }
-      terms.reduce(_ + _)
-    }
+    * The projection matrix is md5-derived plan literals (nBits x dim
+    * doubles — bytes, not a broadcast), so any cluster size computes
+    * identical buckets AND an ANSI-SQL oracle can replay the assignment
+    * bit-exactly: the projection is a strict left-fold in dimension order,
+    * matching DuckDB's list_dot_product accumulation. */
+  def lshBucket(v: Column, dim: Int, nBits: Int = 8): Column = {
+    def proj(bit: Int): Column =
+      (0 until dim).map(d =>
+        element_at(v, d + 1).cast("double") * lit(planeWeight(bit, d)))
+        .reduce(_ + _)
     (0 until nBits).map(b => when(proj(b) >= 0, 1L << b).otherwise(0L))
       .reduce(_ + _)
   }

@@ -47,13 +47,36 @@ object SimilarityOps {
       .select("query_id", "cand_id", "cos", "rk")
   }
 
-  /** Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos >= tau).
-    * At corpus scale this runs per-LSH-bucket instead of all-pairs; the
-    * exact all-pairs form below is the verify-scale oracle twin. */
+  /** Embedding-cosine near-duplicate pairs, EXACT all-pairs form
+    * (vec_a < vec_b, cos >= tau). O(n^2) — this is the verify-scale oracle
+    * twin and recall reference; the production path at corpus scale is
+    * `cosineNearDupPairsBucketed` below. */
   def cosineNearDupPairs(emb: DataFrame, tau: Double = 0.95): DataFrame = {
     val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"))
     val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"))
     a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("e_a"), col("e_b")), 6).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
+  /** Embedding-cosine near-duplicate pairs, LSH-BUCKETED — the 100 TB
+    * shape: each side projects its bucket (O(dim x nBits) codegen'd mults
+    * per row), the join is a hash shuffle on the bucket key (never a
+    * nested-loop over all pairs), and the exact cosine is verified on
+    * in-bucket candidates only. Same two-phase candidates-then-verify
+    * pattern as MinHash+Jaccard for text. Recall < 1 by design (pairs in
+    * different buckets are missed); bucket assignment is md5-derived so a
+    * SQL oracle replays it exactly. */
+  def cosineNearDupPairsBucketed(emb: DataFrame, tau: Double = 0.95,
+                                 dim: Int = 64, nBits: Int = 4): DataFrame = {
+    val withB = emb.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), dim, nBits).as("bucket"))
+    val a = withB.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"),
+      col("bucket"))
+    val b = withB.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"),
+      col("bucket").as("bucket_b"))
+    a.join(b, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         round(cosine(col("e_a"), col("e_b")), 6).as("cos"))
       .filter(col("cos") >= tau)

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SimilarityOps
+
+/** LSH-bucketed similarity: the bucketed candidates-then-verify path must
+  * be a strict subset of the exact all-pairs result (same cosine, same
+  * threshold — LSH only ever MISSES pairs, never invents them), with
+  * non-trivial recall, and its physical plan must be a hash join on the
+  * bucket key — never a nested-loop over all pairs. */
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("bucketed near-dup pairs are a subset of exact pairs, recall reported") {
+    val exact = SimilarityOps.cosineNearDupPairs(emb, 0.25)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = SimilarityOps.cosineNearDupPairsBucketed(emb, 0.25, dim = 64, nBits = 4)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed.subsetOf(exact),
+      s"bucketed produced ${bucketed.diff(exact).size} pairs not in the exact result")
+    val recall = bucketed.size.toDouble / exact.size
+    info(f"recall at tau=0.25, nBits=4: $recall%.3f (${bucketed.size}/${exact.size})")
+    // tau=0.25 is far below near-dup territory (P[bucket match] ~0.11 at the
+    // threshold); true near-dups (cos -> 1) collide with high probability
+    assert(recall > 0.05)
+  }
+
+  test("recall rises toward 1 for true near-duplicates (high tau)") {
+    // self-pairs via a perturbed copy: cos ~ 1 -> same bucket almost surely
+    val shifted = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.0001f)).as("embedding"))
+    val both = emb.select("vec_id", "embedding").union(shifted)
+    val bucketed = SimilarityOps.cosineNearDupPairsBucketed(both, 0.999, dim = 64, nBits = 4)
+      .filter(col("vec_b") === col("vec_a") + 1000000L)
+    val n = emb.count()
+    val hit = bucketed.count()
+    info(s"near-identical pair recall: $hit/$n")
+    assert(hit >= n * 0.95, s"expected ~all $n scaled twins in-bucket, got $hit")
+  }
+
+  test("bucketed plan is a hash join on the bucket, not a nested loop") {
+    val plan = SimilarityOps.cosineNearDupPairsBucketed(emb, 0.25, 64, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("lshTopK results rank within buckets deterministically") {
+    val res = SimilarityOps.lshTopK(emb, emb.filter(col("vec_id") < 10),
+      dim = 64, k = 5, nBits = 4).collect()
+    assert(res.nonEmpty)
+    assert(res.forall(_.getInt(3) <= 5))
+  }
+}
