@@ -158,6 +158,33 @@ object Queries {
              |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)),
 
+    Q("q12b_cube",
+      (s, d) => t(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n")),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             |  coalesce(l_linestatus, 'ALL') AS ls,
+             |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin)),
+
+    Q("q12c_grouping_sets",
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("lineitem_gs")
+        s.sql("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                |  coalesce(l_linestatus, 'ALL') AS ls,
+                |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+                |FROM lineitem_gs
+                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)
+      },
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             |  coalesce(l_linestatus, 'ALL') AS ls,
+             |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)),
+
     Q("q13_union",
       (s, d) => t(s, d, "events").filter(col("event_type") === "click").select("user_id")
         .union(t(s, d, "events").filter(col("event_type") === "purchase").select("user_id"))
@@ -219,6 +246,26 @@ object Queries {
         .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events")),
       Some("""SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
              |FROM events GROUP BY event_type""".stripMargin)),
+
+    // Typed Aggregator UDAF (bounded top-k heap): map-side partials ship
+    // at most k rows per group into the shuffle — the top-k that survives
+    // 10^12 rows. Exact oracle via row_number.
+    Q("q42_topk_udaf",
+      (s, d) => {
+        val topk = udaf(new graft.functions.TopKAggregator(3),
+          org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+        t(s, d, "events")
+          .groupBy("event_type")
+          .agg(topk(col("value"), col("event_id")).as("tk"))
+          .select(col("event_type"), explode(col("tk.items")).as("kv"))
+          .select(col("event_type"), col("kv.score").as("score"),
+            col("kv.id").as("id"))
+      },
+      Some("""SELECT event_type, value AS score, event_id AS id FROM (
+             |  SELECT event_type, value, event_id,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY value DESC, event_id) AS rk
+             |  FROM events) t WHERE rk <= 3""".stripMargin)),
 
     // HLL sketch counterpart of q19 — approximate, so rows-only check.
     Q("q19b_agg_approx_distinct",
