@@ -18,10 +18,11 @@ import graft.windows.Windows
   * (BASELINE.json input_hint). The table is synthesized deterministically
   * (TranscriptGen, seed 42) — the same generator at every parallelism
   * level yields bit-identical input, so these results are stable across
-  * runs and machines. CEP/streaming semantics here are not expressible as
-  * single ANSI-SQL statements over the driver's parquet tables, so these
-  * register as rows-only checks; their row-for-row correctness is pinned
-  * by the ScalaTest oracle suites (sbt -batch test) instead.
+  * runs and machines. Verify materializes the table as parquet under its
+  * outDir, so every entry here is hash-gated against a DuckDB oracle (the
+  * CEP semantics reduce to lag/cumsum/last_value window SQL — the same
+  * proven shapes as q20–q26); the streaming twins are additionally pinned
+  * row-for-row by the ScalaTest suites.
   */
 object TranscriptQueries {
 
@@ -80,37 +81,117 @@ object TranscriptQueries {
     }
   }
 
+  // ------------------------------------------------------------------
+  // DuckDB oracles over the transcripts table. `__TRANSCRIPTS__` is
+  // rewritten by Verify to a read_parquet over the deterministic dump it
+  // writes under outDir/_tables. The parse/classify arithmetic mirrors
+  // Handlers.parseTemp/classify exactly (every generated turn carries a
+  // well-formed trailing `temp=<d>` payload, so regexp_extract and the
+  // char-walk parser agree; double parse of a short decimal string is
+  // correctly rounded — bit-identical — in both engines).
+  // ------------------------------------------------------------------
+
+  private val T = Verify.TranscriptsToken
+
+  /** classify -> change-detect as lag SQL (same shape as q23's oracle). */
+  private val changeDetectSql: String =
+    s"""WITH c AS (SELECT conv_id, turn_idx,
+       |    CAST(regexp_extract(text, 'temp=(-?[0-9][0-9.]*)', 1) AS DOUBLE) AS temp
+       |  FROM $T),
+       |s AS (SELECT conv_id, turn_idx, temp,
+       |    CASE WHEN temp < 97 THEN 'COLD' WHEN temp > 99 THEN 'HOT'
+       |         ELSE 'NOMINAL' END AS status
+       |  FROM c),
+       |l AS (SELECT conv_id, turn_idx, temp, status,
+       |    lag(status) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+       |  FROM s)
+       |SELECT conv_id, turn_idx, status, temp FROM l
+       |WHERE prev IS NULL OR prev <> status""".stripMargin
+
   val all: Seq[Q] = Seq(
-    Q("t40_cep_change_batch", (s, _) => changeDetectBatch(s), None),
-    Q("t41_cep_change_stream", (s, _) => changeDetectStream(s), None),
+    Q("t40_cep_change_batch", (s, _) => changeDetectBatch(s), Some(changeDetectSql)),
+    // the streaming twin must produce the identical row set (exactly-once,
+    // order-independent) — same oracle
+    Q("t41_cep_change_stream", (s, _) => changeDetectStream(s), Some(changeDetectSql)),
     Q("t42_conv_tumbling",
       (s, _) => Windows.tumbling(transcripts(s), "10 minutes")
         .select(col("win")("start").as("win_start"), col("conv_id"),
           col("n_turns"), col("n_tool"), col("first_idx"), col("last_idx")),
-      None),
+      Some(s"""SELECT make_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) * 1000000) AS win_start,
+              |  conv_id, count(*) AS n_turns,
+              |  count(*) FILTER (WHERE role = 'tool') AS n_tool,
+              |  min(turn_idx) AS first_idx, max(turn_idx) AS last_idx
+              |FROM $T GROUP BY 1, 2""".stripMargin)),
     Q("t43_conv_sessions",
       (s, _) => Windows.session(transcripts(s), "30 minutes")
         .select(col("win")("start").as("session_start"),
           col("win")("end").as("session_end"), col("conv_id"), col("n_turns")),
-      None),
+      Some(s"""WITH o AS (SELECT conv_id, ts,
+              |    lag(ts) OVER (PARTITION BY conv_id ORDER BY ts) AS pts FROM $T),
+              |m AS (SELECT conv_id, ts,
+              |    CASE WHEN pts IS NULL OR ts >= pts + INTERVAL '1800 seconds'
+              |         THEN 1 ELSE 0 END AS brk FROM o),
+              |sess AS (SELECT conv_id, ts,
+              |    sum(brk) OVER (PARTITION BY conv_id ORDER BY ts
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
+              |SELECT min(ts) AS session_start,
+              |  max(ts) + INTERVAL '1800 seconds' AS session_end,
+              |  conv_id, count(*) AS n_turns
+              |FROM sess GROUP BY conv_id, sid""".stripMargin)),
     Q("t44_user_tool_join",
       (s, _) => StreamJoins.userToolPairs(transcripts(s), "5 minutes").toDF(),
-      None),
+      Some(s"""WITH u AS (SELECT conv_id, turn_idx, ts FROM $T WHERE role = 'user'),
+              |tl AS (SELECT conv_id, turn_idx, tool, ts FROM $T WHERE role = 'tool')
+              |SELECT u.conv_id AS conv_id, u.turn_idx AS user_turn_idx,
+              |  tl.turn_idx AS tool_turn_idx, tl.tool AS tool,
+              |  u.ts AS user_ts, tl.ts AS tool_ts,
+              |  CAST(epoch(tl.ts) AS BIGINT) - CAST(epoch(u.ts) AS BIGINT) AS lag_sec
+              |FROM u JOIN tl ON u.conv_id = tl.conv_id
+              |  AND tl.ts >= u.ts AND tl.ts <= u.ts + INTERVAL '300 seconds'""".stripMargin)),
     Q("t45_asof_user_tool",
       (s, _) => StreamJoins.asOfUserForTool(transcripts(s)),
-      None),
+      Some(s"""WITH x AS (SELECT conv_id, turn_idx, role, tool, ts,
+              |    CASE WHEN role = 'user' THEN turn_idx END AS u_idx,
+              |    CASE WHEN role = 'user' THEN ts END AS u_ts
+              |  FROM $T WHERE role IN ('user', 'tool')),
+              |c AS (SELECT *,
+              |    last_value(u_idx IGNORE NULLS) OVER (PARTITION BY conv_id
+              |      ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_idx,
+              |    last_value(u_ts IGNORE NULLS) OVER (PARTITION BY conv_id
+              |      ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_ts
+              |  FROM x)
+              |SELECT conv_id, turn_idx AS tool_turn_idx, tool,
+              |  CAST(asof_idx AS INT) AS user_turn_idx,
+              |  CAST(epoch(ts) AS BIGINT) - CAST(epoch(asof_ts) AS BIGINT) AS lag_sec
+              |FROM c WHERE role = 'tool' AND asof_idx IS NOT NULL""".stripMargin)),
+    // The lag-chain SQL below is equivalent to the automaton ON THIS
+    // generator's role grammar ([system]? (user (tool)? assistant)*): a
+    // completed user->tool->assistant pattern is exactly an assistant turn
+    // whose two predecessors are tool then user. (The automaton itself also
+    // handles grammars with repeated tool turns; GenSpec pins the grammar.)
     Q("t46_pattern_automaton",
       (s, _) => {
         import s.implicits._
         AutomatonRunner.runBatch(transcripts(s), Handlers.UserToolAssistantPattern).toDF()
       },
-      None),
+      Some(s"""WITH l AS (SELECT conv_id, turn_idx, role, tool, ts,
+              |    lag(role, 1) OVER w AS r1, lag(role, 2) OVER w AS r2,
+              |    lag(turn_idx, 1) OVER w AS i1, lag(turn_idx, 2) OVER w AS i2,
+              |    lag(tool, 1) OVER w AS tool1
+              |  FROM $T WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+              |SELECT conv_id, i2 AS user_idx, i1 AS tool_idx,
+              |  turn_idx AS assistant_idx, tool1 AS tool, ts
+              |FROM l WHERE role = 'assistant' AND r1 = 'tool' AND r2 = 'user'""".stripMargin)),
     Q("t47_conv_summaries",
       (s, _) => {
         import s.implicits._
         AutomatonRunner.runBatch(transcripts(s), Handlers.Summarizer).toDF()
       },
-      None),
+      Some(s"""SELECT conv_id, CAST(count(*) AS INT) AS n_turns,
+              |  CAST(count(*) FILTER (WHERE role = 'user') AS INT) AS n_user,
+              |  CAST(count(*) FILTER (WHERE role = 'tool') AS INT) AS n_tool,
+              |  min(turn_idx) AS first_idx, max(turn_idx) AS last_idx
+              |FROM $T GROUP BY conv_id""".stripMargin)),
     // columnar classify via the custom codegen'd ParseTemp expression —
     // the whole-stage-codegen twin of the typed automaton path
     Q("t48_classify_columnar",
@@ -124,11 +205,21 @@ object TranscriptQueries {
           when(isnan(col("temp")), "NOMINAL")
             .when(col("temp") < 97.0, "COLD")
             .when(col("temp") > 99.0, "HOT").otherwise("NOMINAL")),
-      None),
-    // skew-safe per-conversation stats over a table with a hot conversation
+      Some(s"""WITH c AS (SELECT conv_id, turn_idx,
+              |    CAST(regexp_extract(text, 'temp=(-?[0-9][0-9.]*)', 1) AS DOUBLE) AS temp
+              |  FROM $T)
+              |SELECT conv_id, turn_idx, temp,
+              |  CASE WHEN temp < 97 THEN 'COLD' WHEN temp > 99 THEN 'HOT'
+              |       ELSE 'NOMINAL' END AS status
+              |FROM c""".stripMargin)),
+    // skew-safe per-conversation stats over a table with a hot conversation;
+    // salting is a physical strategy — the oracle is the unsalted aggregate
     Q("t49_salted_conv_stats",
       (s, _) => graft.shuffle.Salting.convStatsSalted(transcripts(s).toDF()),
-      None),
+      Some(s"""SELECT conv_id, count(*) AS n_turns,
+              |  count(*) FILTER (WHERE role = 'tool') AS n_tool,
+              |  max(turn_idx) AS max_idx
+              |FROM $T GROUP BY conv_id""".stripMargin)),
     // the custom Catalyst operator (LogicalPlan+Strategy+SparkPlan): sort-
     // based streaming fold — O(state) memory per key at any conversation
     // size (equality with the object path pinned in ConversationFoldSpec)
@@ -138,7 +229,7 @@ object TranscriptQueries {
         graft.plans.ConversationFold.run(transcripts(s), Handlers.ChangeDetector)
           .toDF().select("conv_id", "turn_idx", "status", "temp")
       },
-      None),
+      Some(changeDetectSql)),
     // exact dedup under redelivery: input with every turn duplicated must
     // come out single (the streaming twin is pinned in DedupStreamSpec)
     Q("t50_dedup_redelivery",
@@ -146,6 +237,6 @@ object TranscriptQueries {
         val t = transcripts(s)
         graft.operators.StreamingDedup.exact(t.union(t)).toDF()
       },
-      None)
+      Some(s"SELECT DISTINCT conv_id, turn_idx, role, text, tool, ts FROM $T"))
   )
 }

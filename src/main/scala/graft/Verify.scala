@@ -1,9 +1,23 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.TimestampType
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * The transcript-native operators (t40–t51) run over the deterministic
+  * generated transcripts table, which is not one of the driver's sf parquet
+  * views — so Verify materializes that table under `outDir/_tables/` and
+  * rewrites the `__TRANSCRIPTS__` token in their oracle SQL to a DuckDB
+  * `read_parquet` over it. Timestamps are normalized to TIMESTAMP_NTZ
+  * (session is UTC) on every dumped result: the sf tables load as NTZ
+  * already, and instant-typed outputs would otherwise render with a UTC
+  * offset on the pyarrow side of the compare but naive on the DuckDB side.
+  */
 object Verify {
+  val TranscriptsToken = "__TRANSCRIPTS__"
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -15,8 +29,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+
+    def ntzNormalized(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.schema.fields.foldLeft(df) { (d, f) =>
+        if (f.dataType == TimestampType)
+          d.withColumn(f.name, col(f.name).cast("timestamp_ntz"))
+        else d
+      }
+
+    // the transcripts table the t-series oracles read
+    val transcriptsPath = Paths.get(outDir, "_tables", "transcripts.parquet")
+      .toAbsolutePath.toString
+    ntzNormalized(TranscriptQueries.transcripts(spark).toDF())
+      .coalesce(1).write.mode("overwrite").parquet(transcriptsPath)
+
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try ntzNormalized(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
@@ -34,8 +62,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    val transcriptsRef = s"read_parquet('$transcriptsPath/*.parquet')"
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace(TranscriptsToken, transcriptsRef))}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
