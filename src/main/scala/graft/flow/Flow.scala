@@ -71,6 +71,14 @@ object Flow {
   /** LoadBalancingEdgeRouter (`edge_router.py:76-99`): spread load evenly —
     * round-robin repartition. Rarely needed with AQE on. */
   def rebalance[I](n: Int): Flow[I, I] = new Flow(_.repartition(n))
+
+  /** Per-stage parallelism cap — the reference's `max_workers` deployment
+    * hint (`/root/reference/src/reflow/internal/cluster.py:34-38`: a stage
+    * runs on at most N workers). `coalesce` narrows WITHOUT a shuffle, so
+    * capping a stage (e.g. a rate-limited external call, a memory-heavy
+    * decode) costs no data movement; use `rebalance` instead when the cap
+    * must also even out skew. */
+  def maxWorkers[I](n: Int): Flow[I, I] = new Flow(_.coalesce(n))
 }
 
 /** Sources (reference `EventSource`, `__init__.py:65-83`). */

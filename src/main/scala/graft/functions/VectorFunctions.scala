@@ -43,13 +43,28 @@ object VectorFunctions {
     * doubles — bytes, not a broadcast), so any cluster size computes
     * identical buckets AND an ANSI-SQL oracle can replay the assignment
     * bit-exactly: the projection is a strict left-fold in dimension order,
-    * matching DuckDB's list_dot_product accumulation. */
-  def lshBucket(v: Column, dim: Int, nBits: Int = 8): Column = {
-    def proj(bit: Int): Column =
-      (0 until dim).map(d =>
-        element_at(v, d + 1).cast("double") * lit(planeWeight(bit, d)))
-        .reduce(_ + _)
-    (0 until nBits).map(b => when(proj(b) >= 0, 1L << b).otherwise(0L))
+    * matching DuckDB's list_dot_product accumulation.
+    *
+    * `firstBit` selects the hyperplane range [firstBit, firstBit+nBits) —
+    * banded multi-table LSH uses one disjoint range per band so band
+    * buckets are independent.
+    *
+    * Each projection is `aggregate(zip_with(v, <array literal>))` — a
+    * strict left fold in dimension order (bit-identical to DuckDB's
+    * list_dot_product; the leading 0.0 + x is an IEEE identity) — NOT an
+    * unrolled element_at sum: unrolling dim x nBits terms made the
+    * generated code so large that janino compilation took ~10s PER STAGE
+    * (measured at dim=64, 32 planes), recompiled for every plan that
+    * embeds the expression. A compact HOF over one literal per plane
+    * keeps the tree small; the fold itself is O(dim) per plane per row. */
+  def lshBucket(v: Column, dim: Int, nBits: Int = 8, firstBit: Int = 0): Column = {
+    def proj(bit: Int): Column = {
+      val w = lit((0 until dim).map(d => planeWeight(bit, d)).toArray)
+      aggregate(zip_with(v, w, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, t) => acc + t)
+    }
+    (0 until nBits).map(j =>
+      when(proj(firstBit + j) >= 0, 1L << j).otherwise(0L))
       .reduce(_ + _)
   }
 }

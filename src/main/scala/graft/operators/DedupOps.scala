@@ -56,12 +56,19 @@ object DedupOps {
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
     buckets
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(explode(sortedIdPairs(col("ids"), "doc_a", "doc_b")).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
   }
+
+  /** All (a < b) pairs from an ascending-sorted id array — the in-bucket
+    * pair generator shared by every LSH candidate stage (text minhash and
+    * embedding hyperplane buckets). */
+  def sortedIdPairs(ids: org.apache.spark.sql.Column, aName: String,
+                    bName: String): org.apache.spark.sql.Column =
+    flatten(transform(ids, (a, i) =>
+      transform(slice(ids, i + lit(2), size(ids)),
+        b => struct(a.as(aName), b.as(bName)))))
 
   /** Exact n-gram Jaccard similarity for a set of candidate pairs
     * (doc_a, doc_b). Intersection over union of shingle SETS. */

@@ -60,23 +60,38 @@ object SimilarityOps {
       .filter(col("cos") >= tau)
   }
 
-  /** Embedding-cosine near-duplicate pairs, LSH-BUCKETED — the 100 TB
-    * shape: each side projects its bucket (O(dim x nBits) codegen'd mults
-    * per row), the join is a hash shuffle on the bucket key (never a
-    * nested-loop over all pairs), and the exact cosine is verified on
-    * in-bucket candidates only. Same two-phase candidates-then-verify
-    * pattern as MinHash+Jaccard for text. Recall < 1 by design (pairs in
-    * different buckets are missed); bucket assignment is md5-derived so a
-    * SQL oracle replays it exactly. */
+  /** Embedding-cosine near-duplicate pairs, BANDED LSH — the 100 TB shape.
+    *
+    * Multi-table (banded) random-hyperplane LSH: `bands` independent
+    * bucket assignments of `bitsPerBand` sign bits each; a pair is a
+    * candidate when it collides in ANY band. Recall for a pair with
+    * bit-agreement probability p is 1-(1-p^bitsPerBand)^bands — near 1 for
+    * true near-dups while deep bands keep unrelated candidates ~2^bits
+    * times rarer than a single shallow table.
+    *
+    * Plan shape (identical to the text MinHash pipeline): one projection
+    * computes all band buckets (codegen'd mults over plan-literal
+    * md5-derived weights), ONE groupBy on (band, bucket) emits in-bucket
+    * pairs — buckets are never self-joined, so the scan runs once — and
+    * the exact cosine is verified on distinct candidates only. */
   def cosineNearDupPairsBucketed(emb: DataFrame, tau: Double = 0.95,
-                                 dim: Int = 64, nBits: Int = 4): DataFrame = {
-    val withB = emb.select(col("vec_id"), col("embedding"),
-      lshBucket(col("embedding"), dim, nBits).as("bucket"))
-    val a = withB.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"),
-      col("bucket"))
-    val b = withB.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"),
-      col("bucket").as("bucket_b"))
-    a.join(b, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
+                                 dim: Int = 64, bands: Int = 4,
+                                 bitsPerBand: Int = 8): DataFrame = {
+    val bucketArr = array((0 until bands).map(bd =>
+      lshBucket(col("embedding"), dim, bitsPerBand, firstBit = bd * bitsPerBand)): _*)
+    val tagged = emb.select(col("vec_id"),
+      posexplode(bucketArr).as(Seq("band", "bucket")))
+    val cand = tagged.groupBy("band", "bucket")
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(
+        DedupOps.sortedIdPairs(col("ids"), "vec_a", "vec_b")).as("p"))
+      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"))
+      .distinct()
+    val e = emb.select(col("vec_id"), col("embedding"))
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("e_a")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("e_b")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         round(cosine(col("e_a"), col("e_b")), 6).as("cos"))
       .filter(col("cos") >= tau)

@@ -13,26 +13,30 @@ class SimilaritySpec extends SparkSpec {
 
   private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
-  test("bucketed near-dup pairs are a subset of exact pairs, recall reported") {
+  test("banded near-dup pairs are a subset of exact pairs, recall reported") {
     val exact = SimilarityOps.cosineNearDupPairs(emb, 0.25)
       .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val bucketed = SimilarityOps.cosineNearDupPairsBucketed(emb, 0.25, dim = 64, nBits = 4)
+    val bucketed = SimilarityOps.cosineNearDupPairsBucketed(emb, 0.25,
+      dim = 64, bands = 4, bitsPerBand = 8)
       .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(bucketed.subsetOf(exact),
       s"bucketed produced ${bucketed.diff(exact).size} pairs not in the exact result")
     val recall = bucketed.size.toDouble / exact.size
-    info(f"recall at tau=0.25, nBits=4: $recall%.3f (${bucketed.size}/${exact.size})")
-    // tau=0.25 is far below near-dup territory (P[bucket match] ~0.11 at the
-    // threshold); true near-dups (cos -> 1) collide with high probability
-    assert(recall > 0.05)
+    info(f"recall at tau=0.25, 4 bands x 8 bits: $recall%.3f (${bucketed.size}/${exact.size})")
+    // tau=0.25 is far below near-dup territory (p_bit ~0.58 at the
+    // threshold -> band recall 1-(1-0.58^8)^4 ~ 0.05); the banded design
+    // trades low-similarity recall for candidate-set size — the near-dup
+    // test below pins the regime the operator is FOR
+    assert(recall > 0.01)
   }
 
-  test("recall rises toward 1 for true near-duplicates (high tau)") {
-    // self-pairs via a perturbed copy: cos ~ 1 -> same bucket almost surely
+  test("recall is ~1 for true near-duplicates (high tau)") {
+    // self-pairs via a perturbed copy: cos ~ 1 -> same signs in every band
     val shifted = emb.select((col("vec_id") + 1000000L).as("vec_id"),
       transform(col("embedding"), x => x * lit(1.0001f)).as("embedding"))
     val both = emb.select("vec_id", "embedding").union(shifted)
-    val bucketed = SimilarityOps.cosineNearDupPairsBucketed(both, 0.999, dim = 64, nBits = 4)
+    val bucketed = SimilarityOps.cosineNearDupPairsBucketed(both, 0.999,
+      dim = 64, bands = 4, bitsPerBand = 8)
       .filter(col("vec_b") === col("vec_a") + 1000000L)
     val n = emb.count()
     val hit = bucketed.count()
@@ -40,8 +44,8 @@ class SimilaritySpec extends SparkSpec {
     assert(hit >= n * 0.95, s"expected ~all $n scaled twins in-bucket, got $hit")
   }
 
-  test("bucketed plan is a hash join on the bucket, not a nested loop") {
-    val plan = SimilarityOps.cosineNearDupPairsBucketed(emb, 0.25, 64, 4)
+  test("banded plan has no nested loop and no bucket self-join") {
+    val plan = SimilarityOps.cosineNearDupPairsBucketed(emb, 0.25, 64, 4, 8)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
