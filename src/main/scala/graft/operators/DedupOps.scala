@@ -71,16 +71,24 @@ object DedupOps {
         b => struct(a.as(aName), b.as(bName)))))
 
   /** Exact n-gram Jaccard similarity for a set of candidate pairs
-    * (doc_a, doc_b). Intersection over union of shingle SETS. */
+    * (doc_a, doc_b). Intersection over union of shingle SETS; the union
+    * size is derived as |A| + |B| - |A∩B| (exact integer identity on sets)
+    * so only ONE per-pair set operation runs — array_union materialized a
+    * second full hash-set pass per candidate pair. */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, shingleN: Int = 3): DataFrame = {
     val sh = docs.select(col("doc_id"),
       array_distinct(shingles(col("text"), shingleN)).as("sh"))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
+    // bound: the intersection size feeds the formula twice — an unbound
+    // reference would run the whole array_intersect a second time per pair
+    val jac = bound(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))(
+      i => round(i / (col("na") + col("nb") - i), 6))
     pairs
-      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("n_sh").as("na")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("n_sh").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
   }
 
   /** Near-dup pairs: LSH candidates verified by exact Jaccard >= threshold.
