@@ -247,6 +247,21 @@ object Queries {
       Some("""SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
              |FROM events GROUP BY event_type""".stripMargin)),
 
+    // Pivot (wide aggregation): one column per event_type. The explicit
+    // value list keeps the plan a single pass (no distinct-values pre-query)
+    // and pins output column names for the oracle.
+    Q("q43_pivot",
+      (s, d) => t(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day_ts"))
+        .pivot("event_type", Seq("click", "view", "purchase", "error"))
+        .agg(round(sum("value"), 2)),
+      Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+             |  round(sum(value) FILTER (WHERE event_type = 'click'), 2) AS click,
+             |  round(sum(value) FILTER (WHERE event_type = 'view'), 2) AS view,
+             |  round(sum(value) FILTER (WHERE event_type = 'purchase'), 2) AS purchase,
+             |  round(sum(value) FILTER (WHERE event_type = 'error'), 2) AS error
+             |FROM events GROUP BY 1""".stripMargin)),
+
     // Typed Aggregator UDAF (bounded top-k heap): map-side partials ship
     // at most k rows per group into the shuffle — the top-k that survives
     // 10^12 rows. Exact oracle via row_number.

@@ -56,6 +56,16 @@ object StreamJoins {
       .as[ToolPair]
   }
 
+  /** Stream-static enrichment join: attach a static dimension (e.g. a tool
+    * registry) to a live stream. The static side is broadcast — each
+    * micro-batch joins against executor-local state, NO stream-side shuffle
+    * and no streaming state at all (unlike stream-stream joins), which is
+    * why enrichment against reference data is free at any stream rate.
+    * Works identically on a batch Dataset (same plan, same broadcast). */
+  def enrichWithStatic(turns: Dataset[Turn], dim: DataFrame,
+                       dimKey: String = "tool"): DataFrame =
+    turns.toDF().join(broadcast(dim), Seq(dimKey), "left")
+
   /** AS-OF join (batch): attach to every tool turn the LATEST user turn at
     * or before it in the same conversation.
     *

@@ -58,6 +58,33 @@ class JoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins a broadcast dimension with no stream state") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dim = Seq(("search", "web"), ("browser", "web"), ("db", "storage"))
+      .toDF("tool", "category")
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Turn]
+    val enriched = StreamJoins.enrichWithStatic(ms.toDS(), dim)
+    val q = enriched.writeStream.format("memory").queryName("enrich")
+      .outputMode("append").start()
+    try {
+      ms.addData(t("X", 1, 3, "tool", "search"), t("X", 3, 10, "user"))
+      q.processAllAvailable()
+      ms.addData(t("Y", 0, 2, "tool", "db"), t("X", 4, 14, "tool", "calc"))
+      q.processAllAvailable()
+      val got = spark.table("enrich")
+        .select("conv_id", "turn_idx", "category").collect()
+        .map(r => (r.getString(0), r.getInt(1), Option(r.getString(2)))).toSet
+      assert(got == Set(
+        ("X", 1, Some("web")),      // matched dimension row
+        ("X", 3, None),             // non-tool turn: left join keeps it
+        ("Y", 0, Some("storage")),
+        ("X", 4, None)))            // unknown tool: kept, null category
+      // no stateful operator: enrichment must not create streaming state
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("as-of join attaches the latest user turn at-or-before each tool turn") {
     val got = StreamJoins.asOfUserForTool(fixture).collect()
       .map(r => (r.getAs[String]("conv_id"), r.getAs[Int]("tool_turn_idx"),
