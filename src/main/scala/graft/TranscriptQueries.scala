@@ -65,6 +65,33 @@ object TranscriptQueries {
     sink.readCommitted(spark).select("conv_id", "turn_idx", "status", "temp")
   }
 
+  /** Flagship streaming form on the transformWithState runtime — identical
+    * semantics to changeDetectStream (shared stepKey/flushKey core), state
+    * carried in a RocksDB-backed ValueState with an explicit idle-gap
+    * event-time timer. TWS requires the RocksDB provider; set it for the
+    * duration of this query and restore after. */
+  def changeDetectStreamTws(spark: SparkSession): DataFrame = {
+    implicit val enc = labeledEnc(spark)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_t41b_${System.nanoTime()}"
+      val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      TranscriptTable.writeTimeSliced(transcripts(spark), in, sliceMinutes = 60)
+      appendSentinel(spark, in)
+      val stream = FlowSource.stream(spark, in, maxFilesPerTrigger = Some(4))
+      val result = AutomatonRunner.runStreamingTws(stream, Handlers.ChangeDetector,
+        watermarkDelay = "90 minutes")
+      val sink = FlowSink.runAvailableNow(result, out, ckpt)
+      sink.readCommitted(spark).select("conv_id", "turn_idx", "status", "temp")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Append TWO far-future sentinel files (separate appends -> separate
     * micro-batches) so the stream drains deterministically: the first
     * sentinel raises the max event time; the second is processed AFTER the
@@ -113,6 +140,8 @@ object TranscriptQueries {
     // the streaming twin must produce the identical row set (exactly-once,
     // order-independent) — same oracle
     Q("t41_cep_change_stream", (s, _) => changeDetectStream(s), Some(changeDetectSql)),
+    // the same pipeline on the transformWithState runtime — same oracle
+    Q("t41b_cep_change_stream_tws", (s, _) => changeDetectStreamTws(s), Some(changeDetectSql)),
     Q("t42_conv_tumbling",
       (s, _) => Windows.tumbling(transcripts(s), "10 minutes")
         .select(col("win")("start").as("win_start"), col("conv_id"),

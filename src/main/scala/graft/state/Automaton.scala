@@ -128,68 +128,156 @@ object AutomatonRunner {
       .groupByKey(_.conv_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: String, newTurns: Iterator[Turn], gs: GroupState[ConvStateRow]) =>
-          val st0 =
-            if (gs.exists) gs.get
-            else ConvStateRow(null, null, -1, Long.MinValue)
-          val s0: S =
-            if (st0.sBytes == null) a.initial else StateSer.deser[S](st0.sBytes)
-          val buffered: List[Turn] =
-            if (st0.bufBytes == null) Nil else StateSer.deser[List[Turn]](st0.bufBytes)
+          val st0 = if (gs.exists) gs.get else EmptyStateRow
+          val (s0, buffered) = decodeState(a, st0)
 
           if (gs.hasTimedOut) {
-            // conversation idle past the gap: flush any stragglers in order,
-            // then complete and evict state.
-            var s = s0
-            val out = Vector.newBuilder[O]
-            // defensive: drop already-emitted indices and duplicate copies —
-            // onTurn must fire exactly once per turn_idx even under replay
-            buffered.sortBy(_.turn_idx).distinctBy(_.turn_idx)
-              .filter(_.turn_idx > st0.maxEmittedIdx).foreach { t =>
-              val (s2, os) = a.onTurn(s, t); s = s2; out ++= os
-            }
-            out ++= a.onComplete(s)
+            val out = flushKey(a, st0, s0, buffered)
             gs.remove()
-            out.result().iterator
+            out.iterator
           } else {
-            val wm = gs.getCurrentWatermarkMs()
-            // dedup redelivered turns (idempotence under replay)
-            val seenIdx = buffered.iterator.map(_.turn_idx).toSet
-            val fresh = newTurns.filter(t =>
-              t.turn_idx > st0.maxEmittedIdx && !seenIdx.contains(t.turn_idx)).toList
-            var maxTs = st0.maxSeenTs
-            fresh.foreach(t => maxTs = math.max(maxTs, t.ts.getTime))
-            // walk in turn_idx order; process contiguous turns immediately,
-            // skip over gaps the watermark has closed, hold the rest.
-            // distinctBy collapses two copies of one turn_idx arriving in
-            // the SAME micro-batch (the fresh filter only sees state from
-            // the previous trigger); the `< next` guard drops a duplicate
-            // of anything emitted earlier in this very walk — without both,
-            // onTurn would fire twice for a within-batch redelivery.
-            val all = (buffered ++ fresh).sortBy(_.turn_idx).distinctBy(_.turn_idx)
-            var s = s0
-            var next = st0.maxEmittedIdx + 1
-            val out = Vector.newBuilder[O]
-            val hold = List.newBuilder[Turn]
-            var stopped = false
-            all.foreach { t =>
-              if (t.turn_idx < next) ()
-              else if (!stopped && (t.turn_idx == next || t.ts.getTime <= wm)) {
-                val (s2, os) = a.onTurn(s, t)
-                s = s2; out ++= os; next = t.turn_idx + 1
-              } else {
-                stopped = true; hold += t
-              }
-            }
-            val held = hold.result()
-            gs.update(ConvStateRow(StateSer.ser(s),
-              if (held.isEmpty) null else StateSer.ser(held), next - 1, maxTs))
+            val (st1, out) = stepKey(a, st0, s0, buffered, newTurns,
+              gs.getCurrentWatermarkMs())
+            gs.update(st1)
             // evict when the watermark passes last activity + idle gap
             // (clamped above the current watermark — Spark rejects a
             // timeout that is already in the past)
-            if (maxTs != Long.MinValue)
-              gs.setTimeoutTimestamp(math.max(maxTs + idleGapMs, wm + 1))
-            out.result().iterator
+            if (st1.maxSeenTs != Long.MinValue)
+              gs.setTimeoutTimestamp(
+                math.max(st1.maxSeenTs + idleGapMs, gs.getCurrentWatermarkMs() + 1))
+            out.iterator
           }
       }
+  }
+
+  /** The per-key micro-batch step, shared verbatim by BOTH streaming
+    * runtimes (flatMapGroupsWithState and transformWithState) so their
+    * semantics cannot drift: dedup redelivered turns, then walk in
+    * turn_idx order — process contiguous turns immediately, skip over gaps
+    * the watermark has closed, hold the rest. distinctBy collapses two
+    * copies of one turn_idx arriving in the SAME micro-batch (the fresh
+    * filter only sees state from the previous trigger); the `< next` guard
+    * drops a duplicate of anything emitted earlier in this very walk —
+    * without both, onTurn would fire twice for a within-batch redelivery. */
+  private def stepKey[S, O](
+      a: TurnAutomaton[S, O], st0: ConvStateRow, s0: S,
+      buffered: List[Turn], newTurns: Iterator[Turn],
+      wm: Long): (ConvStateRow, Vector[O]) = {
+    val seenIdx = buffered.iterator.map(_.turn_idx).toSet
+    val fresh = newTurns.filter(t =>
+      t.turn_idx > st0.maxEmittedIdx && !seenIdx.contains(t.turn_idx)).toList
+    var maxTs = st0.maxSeenTs
+    fresh.foreach(t => maxTs = math.max(maxTs, t.ts.getTime))
+    val all = (buffered ++ fresh).sortBy(_.turn_idx).distinctBy(_.turn_idx)
+    var s = s0
+    var next = st0.maxEmittedIdx + 1
+    val out = Vector.newBuilder[O]
+    val hold = List.newBuilder[Turn]
+    var stopped = false
+    all.foreach { t =>
+      if (t.turn_idx < next) ()
+      else if (!stopped && (t.turn_idx == next || t.ts.getTime <= wm)) {
+        val (s2, os) = a.onTurn(s, t)
+        s = s2; out ++= os; next = t.turn_idx + 1
+      } else {
+        stopped = true; hold += t
+      }
+    }
+    val held = hold.result()
+    (ConvStateRow(StateSer.ser(s),
+      if (held.isEmpty) null else StateSer.ser(held), next - 1, maxTs),
+      out.result())
+  }
+
+  /** Idle-eviction flush, shared by both runtimes: stragglers in order
+    * (defensively deduped — onTurn exactly once per turn_idx under any
+    * replay), then onComplete. */
+  private def flushKey[S, O](
+      a: TurnAutomaton[S, O], st0: ConvStateRow, s0: S,
+      buffered: List[Turn]): Vector[O] = {
+    var s = s0
+    val out = Vector.newBuilder[O]
+    buffered.sortBy(_.turn_idx).distinctBy(_.turn_idx)
+      .filter(_.turn_idx > st0.maxEmittedIdx).foreach { t =>
+      val (s2, os) = a.onTurn(s, t); s = s2; out ++= os
+    }
+    out ++= a.onComplete(s)
+    out.result()
+  }
+
+  private def decodeState[S](a: TurnAutomaton[S, _],
+                             st0: ConvStateRow): (S, List[Turn]) = (
+    if (st0.sBytes == null) a.initial else StateSer.deser[S](st0.sBytes),
+    if (st0.bufBytes == null) Nil else StateSer.deser[List[Turn]](st0.bufBytes))
+
+  val EmptyStateRow: ConvStateRow = ConvStateRow(null, null, -1, Long.MinValue)
+
+  /** Streaming execution on Spark 4's transformWithState — the modern
+    * arbitrary-state runtime (RocksDB-native state, explicit per-key
+    * timers). Semantics are IDENTICAL to runStreaming: both call the same
+    * stepKey/flushKey core; only state plumbing differs (ValueState +
+    * registered event-time timer instead of GroupState + EventTimeTimeout).
+    * Requires the RocksDB state-store provider. */
+  def runStreamingTws[S, O: Encoder](
+      turns: Dataset[Turn],
+      a: TurnAutomaton[S, O],
+      watermarkDelay: String = "10 minutes",
+      idleGapMs: Long = 30 * 60 * 1000L): Dataset[O] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    import turns.sparkSession.implicits._
+    turns
+      .withWatermark("ts", watermarkDelay)
+      .filter(_.conv_id != AutomatonRunner.SentinelConvId)
+      .groupByKey(_.conv_id)
+      .transformWithState(new ConvProcessor[S, O](a, idleGapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** The TWS processor: one flat ConvStateRow ValueState per conversation
+    * plus exactly one live event-time timer (delete-then-register per
+    * batch) carrying the idle-gap eviction. */
+  final class ConvProcessor[S, O](a: TurnAutomaton[S, O], idleGapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Turn, O] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig}
+
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[ConvStateRow] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[ConvStateRow]("conv",
+        Encoders.product[ConvStateRow], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Turn],
+                                 timerValues: TimerValues): Iterator[O] = {
+      val st0 = if (state.exists()) state.get() else EmptyStateRow
+      val (s0, buffered) = decodeState(a, st0)
+      val (st1, out) = stepKey(a, st0, s0, buffered, rows,
+        timerValues.getCurrentWatermarkInMs())
+      state.update(st1)
+      if (st1.maxSeenTs != Long.MinValue) {
+        val h = getHandle
+        h.listTimers().toList.foreach(h.deleteTimer)
+        h.registerTimer(math.max(st1.maxSeenTs + idleGapMs,
+          timerValues.getCurrentWatermarkInMs() + 1))
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[O] = {
+      if (!state.exists()) return Iterator.empty
+      val st = state.get()
+      val due = st.maxSeenTs + idleGapMs
+      if (timerValues.getCurrentWatermarkInMs() >= due) {
+        val (s0, buffered) = decodeState(a, st)
+        val out = flushKey(a, st, s0, buffered)
+        state.clear()
+        out.iterator
+      } else {
+        // stale timer from a superseded registration: re-arm and wait
+        getHandle.registerTimer(
+          math.max(due, timerValues.getCurrentWatermarkInMs() + 1))
+        Iterator.empty
+      }
+    }
   }
 }
