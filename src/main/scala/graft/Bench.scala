@@ -89,11 +89,17 @@ object Bench {
     implicit val enc = implicitly[org.apache.spark.sql.Encoder[graft.model.LabeledTurn]]
     val maxFiles = Some(sys.env.getOrElse("SPARK_GRAFT_MAX_FILES", "16").toInt)
 
+    // SPARK_GRAFT_RUNNER=tws benches the transformWithState runtime
+    // (requires SPARK_GRAFT_STATE=rocksdb); default flatMapGroupsWithState
+    val useTws = sys.env.get("SPARK_GRAFT_RUNNER").contains("tws")
     def onePass(tag: String): (ProgressMetrics.Summary, Double) = {
       val sink = new graft.sink.ExactlyOnceParquetSink(s"$workBase/out_${tag}_c$cpus")
-      val result = AutomatonRunner.runStreaming(
-        FlowSource.stream(spark, inDir, maxFiles),
-        Handlers.ChangeDetector, watermarkDelay = "90 minutes")
+      val stream = FlowSource.stream(spark, inDir, maxFiles)
+      val result =
+        if (useTws) AutomatonRunner.runStreamingTws(stream,
+          Handlers.ChangeDetector, watermarkDelay = "90 minutes")
+        else AutomatonRunner.runStreaming(stream,
+          Handlers.ChangeDetector, watermarkDelay = "90 minutes")
       val t0 = System.nanoTime()
       val q = result.writeStream
         .outputMode("append")

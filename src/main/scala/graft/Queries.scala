@@ -612,7 +612,32 @@ object Queries {
       Some("""SELECT doc_id, strlen(text) AS byte_len, strlen(text) % 64 AS width,
              |  strlen(text) % 48 AS height, strlen(text) % 16 + 1 AS n_frames,
              |  CASE WHEN strlen(text) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // frame sampling over the decoded metadata (every 4th frame index)
+    Q("q38b_frame_sample",
+      (s, d) => MultimodalOps.sampleFrames(
+          MultimodalOps.decodeMeta(MultimodalOps.binarize(t(s, d, "documents"))), 4)
+        .withColumn("n_sampled", col("n_sampled").cast("long")),
+      Some("""SELECT doc_id, strlen(text) % 16 + 1 AS n_frames,
+             |  range(0, strlen(text) % 16 + 1, 4) AS frame_idxs,
+             |  len(range(0, strlen(text) % 16 + 1, 4)) AS n_sampled
+             |FROM documents""".stripMargin)),
+
+    // aspect-preserving metadata resize (exact integer/floor arithmetic)
+    Q("q38c_resize_meta",
+      (s, d) => MultimodalOps.resizeMeta(
+        MultimodalOps.decodeMeta(MultimodalOps.binarize(t(s, d, "documents"))), 32L),
+      Some("""WITH m AS (SELECT doc_id, strlen(text) % 64 AS width,
+             |    strlen(text) % 48 AS height FROM documents)
+             |SELECT doc_id, width, height,
+             |  CASE WHEN greatest(width, height) <= 0 THEN 0
+             |       ELSE CAST(floor(width * 32.0 / greatest(width, height)) AS BIGINT)
+             |  END AS out_w,
+             |  CASE WHEN greatest(width, height) <= 0 THEN 0
+             |       ELSE CAST(floor(height * 32.0 / greatest(width, height)) AS BIGINT)
+             |  END AS out_h
+             |FROM m""".stripMargin))
   )
 
   val all: Seq[Q] = relational ++ eventCep ++ pipelineOps ++ TranscriptQueries.all

@@ -50,4 +50,44 @@ object MultimodalOps {
       sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong)).as("frame_idxs"))
       .withColumn("n_sampled", size(col("frame_idxs")))
   }
+
+  /** Aspect-preserving resize of the decoded metadata: longest side becomes
+    * `maxDim`, the other scales by integer arithmetic (floor) — exact, so
+    * oracle-checkable. Payload resize itself belongs to the codec stub. */
+  def resizeMeta(meta: Dataset[MediaMeta], maxDim: Long = 32L): DataFrame = {
+    val longest = greatest(col("width"), col("height"))
+    def scaled(c: String) =
+      when(longest <= 0, lit(0L))
+        .otherwise(floor(col(c) * maxDim / longest).cast("long"))
+    meta.toDF().select(col("doc_id"), col("width"), col("height"),
+      scaled("width").as("out_w"), scaled("height").as("out_h"))
+  }
+
+  final case class Feature(doc_id: Long, feature: Seq[Float])
+
+  /** STUB feature extraction (the mapInPandas-analogue batch UDF): a
+    * deterministic rolling-hash "embedding" of the payload bytes. The
+    * plumbing is the real contract — one model init per PARTITION (the
+    * expensive step with a real encoder), streaming row iteration, typed
+    * columnar output — so swapping in ONNX/JNI inference changes only the
+    * body of the row mapper. */
+  def extractFeatures(docsWithPayload: DataFrame, dim: Int = 8): Dataset[Feature] = {
+    implicit val enc = Encoders.product[Feature]
+    docsWithPayload.select("doc_id", "payload").mapPartitions { it =>
+      // real impl: val model = OnnxSession.open(...) once per partition
+      it.map { r =>
+        val p = r.getAs[Array[Byte]](1)
+        val acc = new Array[Long](dim)
+        var h = 1125899906842597L
+        var i = 0
+        while (i < p.length) {
+          h = h * 31 + (p(i) & 0xff)
+          acc(i % dim) ^= h
+          i += 1
+        }
+        Feature(r.getLong(0),
+          acc.toSeq.map(a => ((a >>> 40).toInt / 16777216.0f) - 0.5f))
+      }
+    }
+  }
 }
