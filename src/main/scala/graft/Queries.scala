@@ -412,6 +412,13 @@ object Queries {
       s"(CASE WHEN list_dot_product(emb, [$ws]) >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** SQL form of TextFunctions.tokenHash16 over an arbitrary expression
+    * (instr-over-hex-digit — DuckDB lacks conv()). */
+  private def h16Sql(e: String): String = {
+    val nib = (i: Int) => s"(instr('0123456789abcdef', substr(md5($e), $i, 1)) - 1)"
+    s"${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}"
+  }
+
   private def simhashSql: String = {
     val nib = (i: Int) => s"(instr('0123456789abcdef', substr(md5(tok), $i, 1)) - 1)"
     val h16 = s"${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}"
@@ -548,6 +555,44 @@ object Queries {
               |FROM b a JOIN b c ON a.vec_id < c.vec_id
               |  AND (a.b0 = c.b0 OR a.b1 = c.b1 OR a.b2 = c.b2 OR a.b3 = c.b3)
               |WHERE round(list_cosine_similarity(a.emb, c.emb), 6) >= 0.25""".stripMargin)),
+
+    // Ingest-time near-dup gate: incoming docs (a streaming-capable side)
+    // vs a static corpus, banded LSH + broadcast, first-matching-band
+    // dedup (stateless). Oracle: DISTINCT over the OR-of-bands join.
+    Q("q36c_neardup_vs_corpus",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        SimilarityOps.nearDupAgainstCorpus(
+          emb.filter(col("vec_id") < 50), emb, 0.25, dim = 64, bands = 4,
+          bitsPerBand = 8)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              |b AS (SELECT vec_id, emb,
+              |  ${lshBucketSql(64, 8, 0)} AS b0,
+              |  ${lshBucketSql(64, 8, 8)} AS b1,
+              |  ${lshBucketSql(64, 8, 16)} AS b2,
+              |  ${lshBucketSql(64, 8, 24)} AS b3 FROM e),
+              |q AS (SELECT * FROM b WHERE vec_id < 50)
+              |SELECT DISTINCT q.vec_id AS in_id, c.vec_id AS corpus_id,
+              |  round(list_cosine_similarity(q.emb, c.emb), 6) AS cos
+              |FROM q JOIN b c ON q.vec_id <> c.vec_id
+              |  AND (q.b0 = c.b0 OR q.b1 = c.b1 OR q.b2 = c.b2 OR q.b3 = c.b3)
+              |WHERE round(list_cosine_similarity(q.emb, c.emb), 6) >= 0.25""".stripMargin)),
+
+    // Deterministic md5-bucket train/held-out split — stable under any
+    // partitioning/cluster size (rand(seed) is not), engine-replayable.
+    Q("q44_hash_split",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.operators.Sampling.hashBucket(col("doc_id"), 100).as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 10, "heldout").otherwise("train")),
+      Some(s"""WITH h AS (SELECT doc_id,
+              |    (${h16Sql("CAST(doc_id AS VARCHAR)")}) % 100 AS bucket
+              |  FROM documents)
+              |SELECT doc_id, bucket,
+              |  CASE WHEN bucket < 10 THEN 'heldout' ELSE 'train' END AS split
+              |FROM h""".stripMargin)),
 
     // LSH-bucketed ANN (same md5-replayable bucket as q36b).
     Q("q37_ann_lsh",

@@ -60,6 +60,48 @@ object SimilarityOps {
       .filter(col("cos") >= tau)
   }
 
+  /** Near-dup gate against a STATIC corpus — "is this incoming document a
+    * duplicate of anything already in the training set?", the ingest-time
+    * twin of cosineNearDupPairsBucketed. Works on a STREAMING `incoming`
+    * unchanged: the corpus bucket table is broadcast, each micro-batch
+    * joins executor-locally — stateless enrichment-shaped matching, no
+    * streaming state at all.
+    *
+    * Multi-band dedup is stateless too: a pair colliding in several bands
+    * is kept only at its FIRST matching band (both sides carry their full
+    * band-bucket arrays; a codegen-friendly exists() checks no earlier
+    * band also collided) — no DISTINCT, which would be stateful on a
+    * stream. At a corpus too large to broadcast, flip `broadcastCorpus`
+    * and the same plan becomes a hash shuffle on (band, bucket). */
+  def nearDupAgainstCorpus(incoming: DataFrame, corpus: DataFrame,
+                           tau: Double = 0.95, dim: Int = 64, bands: Int = 4,
+                           bitsPerBand: Int = 8,
+                           broadcastCorpus: Boolean = true): DataFrame = {
+    def bucketArr = array((0 until bands).map(bd =>
+      lshBucket(col("embedding"), dim, bitsPerBand, firstBit = bd * bitsPerBand)): _*)
+    val in = incoming
+      .select(col("vec_id").as("in_id"), col("embedding").as("e_i"),
+        bucketArr.as("bks_i"))
+      .select(col("in_id"), col("e_i"), col("bks_i"),
+        posexplode(col("bks_i")).as(Seq("band", "bucket")))
+    val co0 = corpus
+      .select(col("vec_id").as("corpus_id"), col("embedding").as("e_c"),
+        bucketArr.as("bks_c"))
+      .select(col("corpus_id"), col("e_c"), col("bks_c"),
+        posexplode(col("bks_c")).as(Seq("band_c", "bucket_c")))
+    val co = if (broadcastCorpus) broadcast(co0) else co0
+    val firstBandOnly = !exists(
+      sequence(lit(1), col("band")),
+      j => element_at(col("bks_i"), j) === element_at(col("bks_c"), j))
+    in.join(co,
+        col("band") === col("band_c") && col("bucket") === col("bucket_c") &&
+        col("in_id") =!= col("corpus_id"))
+      .filter(when(col("band") === 0, lit(true)).otherwise(firstBandOnly))
+      .select(col("in_id"), col("corpus_id"),
+        round(cosine(col("e_i"), col("e_c")), 6).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
   /** Embedding-cosine near-duplicate pairs, BANDED LSH — the 100 TB shape.
     *
     * Multi-table (banded) random-hyperplane LSH: `bands` independent

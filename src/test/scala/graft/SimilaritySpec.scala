@@ -51,6 +51,33 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("streaming near-dup gate vs static corpus: stateless, finds all twins") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val corpus = emb.select("vec_id", "embedding")
+    // incoming: scaled twins of 20 corpus vectors (cos ~ 1, same band signs)
+    val twins = corpus.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.0001f)).as("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val incoming = ms.toDS().toDF("vec_id", "embedding")
+    val gated = SimilarityOps.nearDupAgainstCorpus(incoming, corpus, 0.999)
+    val q = gated.writeStream.format("memory").queryName("gate")
+      .outputMode("append").start()
+    try {
+      ms.addData(twins.take(10).toSeq: _*); q.processAllAvailable()
+      ms.addData(twins.drop(10).toSeq: _*); q.processAllAvailable()
+      val got = spark.table("gate")
+        .select("in_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // every twin matches its original exactly once (first-band dedup)
+      assert(got.toSet.intersect((0L until 20L).map(i => (i + 1000000L, i)).toSet).size == 20)
+      assert(got.length == got.toSet.size, "multi-band duplicates must be suppressed")
+      assert(q.lastProgress.stateOperators.isEmpty, "gate must be stateless")
+    } finally q.stop()
+  }
+
   test("lshTopK results rank within buckets deterministically") {
     val res = SimilarityOps.lshTopK(emb, emb.filter(col("vec_id") < 10),
       dim = 64, k = 5, nBits = 4).collect()
