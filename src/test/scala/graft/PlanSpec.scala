@@ -51,4 +51,24 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"), s"no codegen span in:\n$plan")
     assert(plan.contains("parse_temp"), s"expression missing in:\n$plan")
   }
+
+  // Regression pins for round-2 perf fixes — the shapes below each cost
+  // 10x+ when they regress (see BASELINE.md round-2 notes).
+
+  test("minhash LSH pairs scan the corpus exactly ONCE (no signature self-join)") {
+    val plan = planOf("q32_minhash_lsh")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 corpus scan, found $scans in:\n${plan.take(3000)}")
+  }
+
+  test("q41 global-scalar plan has no Window and no whole-table single-partition funnel") {
+    val plan = planOf("q41_scalar_subquery")
+    assert(!plan.contains("Window"), s"empty-key Window regressed:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastExchange"), s"scalar must broadcast:\n${plan.take(2000)}")
+  }
+
+  test("pivot with explicit values scans the table once (no distinct pre-query)") {
+    val plan = planOf("q43_pivot")
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan.take(2000))
+  }
 }
