@@ -29,8 +29,8 @@ object Bench {
     "q22_session_window", "q23_change_detect", "q24_asof_join",
     "q27_dedup_exact", "q28_token_count", "q30_langid",
     "q32_minhash_lsh", "q33_ngram_jaccard", "q34_simhash",
-    "q35_ann_bruteforce", "q36b_embed_neardup_lsh", "q38_multimodal_meta",
-    "q42_topk_udaf")
+    "q35_ann_bruteforce", "q36b_embed_neardup_lsh", "q36c_neardup_vs_corpus",
+    "q38_multimodal_meta", "q42_topk_udaf", "q43_pivot", "q44_hash_split")
 
   /** Bench scratch space: RAM-backed when available. On a real cluster the
     * state checkpoints / shuffle land on local NVMe + HDFS; on this box
