@@ -68,6 +68,38 @@ class TwsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tws kill mid-stream + restart from checkpoint: output unchanged, exactly once") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val in = tmpDir("tws_in2"); val out = tmpDir("tws_out2"); val ck = tmpDir("tws_ck2")
+    TranscriptTable.writeTimeSliced(TranscriptGen.dataset(spark, cfg), in, sliceMinutes = 60)
+    TranscriptQueries.appendSentinel(spark, in)
+    val sink = new graft.sink.ExactlyOnceParquetSink(out)
+    def mkQuery(failAfter: Option[Int]) = {
+      val result = AutomatonRunner.runStreamingTws(
+        FlowSource.stream(spark, in, maxFilesPerTrigger = Some(1)),
+        Handlers.ChangeDetector, watermarkDelay = "90 minutes")
+      var n = 0
+      result.writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[LabeledTurn], epoch: Long) =>
+          sink.addBatch(df.toDF(), epoch)
+          n += 1
+          failAfter.foreach(k => if (n >= k) throw new RuntimeException("injected crash"))
+        }
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    val q1 = mkQuery(Some(3))
+    intercept[Exception] { q1.awaitTermination() }
+    val q2 = mkQuery(None)
+    q2.awaitTermination()
+    val got = sink.readCommitted(spark).as[LabeledTurn].collect()
+    val want = AutomatonRunner.runBatch(TranscriptGen.dataset(spark, cfg),
+      Handlers.ChangeDetector).collect().toSet
+    assert(got.toSet == want)
+    assert(got.length == want.size, "no duplicates under redelivery")
+  }
+
   test("tws idle-gap timer completes a conversation (onComplete fires once)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
