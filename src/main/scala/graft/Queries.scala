@@ -449,6 +449,17 @@ object Queries {
       Some("""SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
              |  length(text) AS n_chars_txt FROM documents""".stripMargin)),
 
+    // BPE-ish pre-tokenization count next to the whitespace count — the
+    // length proxy GPT-style tokenizers induce (letter runs / digit runs /
+    // single marks), regex identical across engines.
+    Q("q28b_token_count_bpe",
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_ws"),
+        TextFunctions.bpeIshCount(col("text")).cast("long").as("n_bpe")),
+      Some("""SELECT doc_id, len(string_split(text, ' ')) AS n_ws,
+             |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe
+             |FROM documents""".stripMargin)),
+
     Q("q29_quality_score",
       (s, d) => {
         val nTok = TextFunctions.tokenCount(col("text")).cast("double")
@@ -491,6 +502,18 @@ object Queries {
       (s, d) => t(s, d, "documents")
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp")),
       Some("SELECT doc_id, md5(lower(text)) AS fp FROM documents")),
+
+    // Order-sensitive rolling-hash fingerprint (vs the set-semantics md5 /
+    // minhash family): left fold of (h*131 + tokenHash16) mod 2^31.
+    Q("q31b_rolling_fingerprint",
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+        TextFunctions.rollingFingerprint(col("text")).as("rfp")),
+      Some(s"""SELECT doc_id,
+              |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |    list_transform(string_split(text, ' '),
+              |      t -> CAST(${h16Sql("t")} AS BIGINT))),
+              |    (a, b) -> (a * 131 + b) % 2147483648) AS rfp
+              |FROM documents""".stripMargin)),
 
     Q("q32_minhash_lsh",
       (s, d) => DedupOps.minhashLshPairs(t(s, d, "documents")),

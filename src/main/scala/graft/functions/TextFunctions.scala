@@ -64,6 +64,25 @@ object TextFunctions {
   /** Document fingerprint: md5 of the lowercased text (exact-dup key). */
   def fingerprint(text: Column): Column = md5(lower(text))
 
+  /** BPE-ish subword pre-tokenization: letter runs, digit runs, and single
+    * non-alphanumeric marks — the regex split GPT-style tokenizers apply
+    * BEFORE merges, which is the token-count proxy that matters for
+    * length-based corpus filtering. Codegen'd regexp, SQL-replayable. */
+  def bpeIshTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))
+
+  def bpeIshCount(text: Column): Column = size(bpeIshTokens(text))
+
+  /** Rolling-hash fingerprint over the token sequence: left fold of
+    * h = (h * 131 + tokenHash16) mod 2^31 — order-sensitive (unlike a
+    * set/minhash signature, reordered tokens change it), constant memory,
+    * and exact in any 64-bit-integer engine because the modulus keeps the
+    * accumulator far below overflow. */
+  def rollingFingerprint(text: Column): Column =
+    bound(tokens(text))(toks =>
+      aggregate(toks, lit(0L),
+        (acc, t) => (acc * 131L + tokenHash16(t)) % 2147483648L))
+
   /** 16-bit per-token hash from the first 4 hex chars of md5 — chosen
     * because the identical arithmetic is expressible in ANSI SQL
     * (instr-over-hex-digit), keeping the SimHash oracle engine-independent. */
