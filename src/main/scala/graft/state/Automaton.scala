@@ -159,7 +159,7 @@ object AutomatonRunner {
     * filter only sees state from the previous trigger); the `< next` guard
     * drops a duplicate of anything emitted earlier in this very walk —
     * without both, onTurn would fire twice for a within-batch redelivery. */
-  private def stepKey[S, O](
+  private[state] def stepKey[S, O](
       a: TurnAutomaton[S, O], st0: ConvStateRow, s0: S,
       buffered: List[Turn], newTurns: Iterator[Turn],
       wm: Long): (ConvStateRow, Vector[O]) = {
@@ -192,7 +192,7 @@ object AutomatonRunner {
   /** Idle-eviction flush, shared by both runtimes: stragglers in order
     * (defensively deduped — onTurn exactly once per turn_idx under any
     * replay), then onComplete. */
-  private def flushKey[S, O](
+  private[state] def flushKey[S, O](
       a: TurnAutomaton[S, O], st0: ConvStateRow, s0: S,
       buffered: List[Turn]): Vector[O] = {
     var s = s0
@@ -205,7 +205,7 @@ object AutomatonRunner {
     out.result()
   }
 
-  private def decodeState[S](a: TurnAutomaton[S, _],
+  private[state] def decodeState[S](a: TurnAutomaton[S, _],
                              st0: ConvStateRow): (S, List[Turn]) = (
     if (st0.sBytes == null) a.initial else StateSer.deser[S](st0.sBytes),
     if (st0.bufBytes == null) Nil else StateSer.deser[List[Turn]](st0.bufBytes))
