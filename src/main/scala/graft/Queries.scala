@@ -420,8 +420,7 @@ object Queries {
   }
 
   private def simhashSql: String = {
-    val nib = (i: Int) => s"(instr('0123456789abcdef', substr(md5(tok), $i, 1)) - 1)"
-    val h16 = s"${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}"
+    val h16 = h16Sql("tok")
     val sums = (0 until 16).map(b =>
       s"sum(CASE WHEN (h16 >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(",\n    ")
     val bits = (0 until 16).map(b =>

@@ -54,15 +54,9 @@ object TranscriptQueries {
     * reference `cluster.py:51-89`). */
   def changeDetectStream(spark: SparkSession): DataFrame = {
     implicit val enc = labeledEnc(spark)
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_t41_${System.nanoTime()}"
-    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
-    TranscriptTable.writeTimeSliced(transcripts(spark), in, sliceMinutes = 60)
-    appendSentinel(spark, in)
-    val stream = FlowSource.stream(spark, in, maxFilesPerTrigger = Some(4))
-    val result = AutomatonRunner.runStreaming(stream, Handlers.ChangeDetector,
-      watermarkDelay = "90 minutes")
-    val sink = FlowSink.runAvailableNow(result, out, ckpt)
-    sink.readCommitted(spark).select("conv_id", "turn_idx", "status", "temp")
+    runChangeDetectStream(spark, "t41", ds =>
+      AutomatonRunner.runStreaming(ds, Handlers.ChangeDetector,
+        watermarkDelay = "90 minutes"))
   }
 
   /** Flagship streaming form on the transformWithState runtime — identical
@@ -76,20 +70,26 @@ object TranscriptQueries {
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_t41b_${System.nanoTime()}"
-      val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
-      TranscriptTable.writeTimeSliced(transcripts(spark), in, sliceMinutes = 60)
-      appendSentinel(spark, in)
-      val stream = FlowSource.stream(spark, in, maxFilesPerTrigger = Some(4))
-      val result = AutomatonRunner.runStreamingTws(stream, Handlers.ChangeDetector,
-        watermarkDelay = "90 minutes")
-      val sink = FlowSink.runAvailableNow(result, out, ckpt)
-      sink.readCommitted(spark).select("conv_id", "turn_idx", "status", "temp")
-    } finally prev match {
+    try runChangeDetectStream(spark, "t41b", ds =>
+      AutomatonRunner.runStreamingTws(ds, Handlers.ChangeDetector,
+        watermarkDelay = "90 minutes"))
+    finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
     }
+  }
+
+  /** One drain recipe for both streaming twins (t41/t41b share an oracle,
+    * so they MUST run the identical pipeline except for the runner). */
+  private def runChangeDetectStream(spark: SparkSession, tag: String,
+      runner: Dataset[Turn] => Dataset[LabeledTurn]): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${System.nanoTime()}"
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    TranscriptTable.writeTimeSliced(transcripts(spark), in, sliceMinutes = 60)
+    appendSentinel(spark, in)
+    val stream = FlowSource.stream(spark, in, maxFilesPerTrigger = Some(4))
+    val sink = FlowSink.runAvailableNow(runner(stream), out, ckpt)
+    sink.readCommitted(spark).select("conv_id", "turn_idx", "status", "temp")
   }
 
   /** Append TWO far-future sentinel files (separate appends -> separate

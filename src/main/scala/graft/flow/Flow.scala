@@ -74,10 +74,13 @@ object Flow {
 
   /** Per-stage parallelism cap — the reference's `max_workers` deployment
     * hint (`/root/reference/src/reflow/internal/cluster.py:34-38`: a stage
-    * runs on at most N workers). `coalesce` narrows WITHOUT a shuffle, so
-    * capping a stage (e.g. a rate-limited external call, a memory-heavy
-    * decode) costs no data movement; use `rebalance` instead when the cap
-    * must also even out skew. */
+    * runs on at most N workers). `coalesce` narrows WITHOUT a shuffle —
+    * but note it FUSES: everything upstream since the last shuffle also
+    * runs at parallelism n (that is what makes it free). Use it when the
+    * whole fused chain should be capped (a rate-limited sink-side call);
+    * use `rebalance(n)` instead when upstream stages must keep their own
+    * parallelism — the shuffle is the stage boundary that isolates the
+    * cap. */
   def maxWorkers[I](n: Int): Flow[I, I] = new Flow(_.coalesce(n))
 }
 

@@ -64,5 +64,9 @@ object ParseTemp {
 
   /** Register as a SQL function (`SELECT parse_temp(text) ...`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Bridge.registerFunction(spark, "parse_temp", exprs => ParseTemp(exprs.head))
+    Bridge.registerFunction(spark, "parse_temp", exprs => {
+      if (exprs.length != 1) throw new IllegalArgumentException(
+        s"parse_temp expects exactly 1 argument, got ${exprs.length}")
+      ParseTemp(exprs.head)
+    })
 }

@@ -23,8 +23,14 @@ final case class TopKBuf(items: Seq[Scored])
 final class TopKAggregator(k: Int) extends Aggregator[Scored, TopKBuf, TopKBuf] {
   require(k > 0)
 
-  private def better(a: Scored, b: Scored): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  // Double.compare gives a TOTAL order (NaN above all values — matching
+  // the SQL sort semantics of both Spark and the DuckDB oracle); a plain
+  // `>` would let a NaN score bypass the ordering and make results
+  // merge-order-dependent.
+  private def better(a: Scored, b: Scored): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   private def insert(buf: Seq[Scored], v: Scored): Seq[Scored] =
     if (buf.size >= k && better(buf.last, v)) buf

@@ -90,8 +90,11 @@ object SimilarityOps {
       .select(col("corpus_id"), col("e_c"), col("bks_c"),
         posexplode(col("bks_c")).as(Seq("band_c", "bucket_c")))
     val co = if (broadcastCorpus) broadcast(co0) else co0
+    // greatest(band, 1): sequence(1, 0) would be DESCENDING [1, 0] and
+    // element_at(_, 0) throws — the band=0 guard below makes the value
+    // irrelevant, but the expression must stay safe to evaluate eagerly
     val firstBandOnly = !exists(
-      sequence(lit(1), col("band")),
+      sequence(lit(1), greatest(col("band"), lit(1))),
       j => element_at(col("bks_i"), j) === element_at(col("bks_c"), j))
     in.join(co,
         col("band") === col("band_c") && col("bucket") === col("bucket_c") &&
