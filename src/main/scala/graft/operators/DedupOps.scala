@@ -101,16 +101,26 @@ object DedupOps {
   /** 16-bit SimHash signature per doc (see TextFunctions.tokenHash16 for why
     * 16: the identical arithmetic is ANSI-SQL-expressible for the oracle).
     * Bit b of the signature is set iff sum over tokens of (+1 if bit b of
-    * the token hash else -1) is positive. */
+    * the token hash else -1) is positive.
+    *
+    * Computed ROW-LOCALLY in one scan: per token a 16-element ±1 bit array,
+    * folded with a vector add. The explode-then-groupBy alternative shuffles
+    * one row PER TOKEN — at corpus scale that is a shuffle the size of the
+    * token stream for a per-document value. Bit b of the token hash is
+    * extracted as floor(h / 2^b) mod 2 — h < 2^16, so the double division
+    * by a power of two is exact. */
   def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .withColumn("h", tokenHash16(col("tok")))
-    val bitSums = (0 until 16).map(b =>
-      sum(bitOf(col("h"), b) * 2 - 1).as(s"b$b"))
-    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 16).map(b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    agg.select(col("doc_id"), sig.as("simhash"))
+    val pmOne = (h: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      pmod(floor(h.cast("double") / pow(lit(2.0), b)).cast("long"), lit(2L)) * 2 - 1
+    val sig = bound(tokens(col("text")))(toks =>
+      bound(transform(toks, t => bound(tokenHash16(t))(h =>
+          transform(sequence(lit(0), lit(15)), b => pmOne(h, b)))))(bitArrs =>
+        bound(aggregate(bitArrs, array_repeat(lit(0L), 16),
+            (acc, ba) => zip_with(acc, ba, (x, y) => x + y)))(sums =>
+          (0 until 16).map(b =>
+            when(element_at(sums, b + 1) > 0, lit(1L << b)).otherwise(lit(0L)))
+            .reduce(_ + _))))
+    docs.select(col("doc_id"), sig.as("simhash"))
   }
 
   /** SimHash dedup groups: docs with identical signatures. */

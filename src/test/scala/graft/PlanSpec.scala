@@ -67,6 +67,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"), s"scalar must broadcast:\n${plan.take(2000)}")
   }
 
+  test("simhash is row-local: no shuffle, no explode (q34)") {
+    val plan = planOf("q34_simhash")
+    assert(!plan.contains("Exchange"),
+      s"simhash must not shuffle (explode+groupBy regression):\n${plan.take(2000)}")
+    assert("Scan parquet".r.findAllIn(plan).size == 1)
+  }
+
   test("pivot with explicit values scans the table once (no distinct pre-query)") {
     val plan = planOf("q43_pivot")
     assert("Scan parquet".r.findAllIn(plan).size == 1, plan.take(2000))
