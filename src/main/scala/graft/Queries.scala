@@ -383,21 +383,25 @@ object Queries {
   // training-data pipeline: dedup / text analysis / similarity / media
   // ------------------------------------------------------------------
 
-  private val shinglesSqlCtes =
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |sh AS (
-      |  SELECT doc_id,
-      |    unnest([array_to_string(t[i:i+2], ' ')
-      |            for i in generate_series(1, greatest(len(t) - 2, 1))]) AS sh
-      |  FROM toks),
-      |seeds AS (SELECT unnest(['s1','s2','s3','s4','s5','s6','s7','s8']) AS s),
-      |mh AS (
-      |  SELECT doc_id, s, min(md5(s || ':' || sh)) AS mh
-      |  FROM sh CROSS JOIN seeds GROUP BY doc_id, s),
-      |cand AS (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM mh a JOIN mh b ON a.s = b.s AND a.mh = b.mh AND a.doc_id < b.doc_id)
-      |""".stripMargin
+  /** shingle -> 8-seed minhash -> LSH candidate-pair CTE chain over `src`
+    * (a table or prior CTE with doc_id, text). */
+  private def shinglesCtes(src: String): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
+       |sh AS (
+       |  SELECT doc_id,
+       |    unnest([array_to_string(t[i:i+2], ' ')
+       |            for i in generate_series(1, greatest(len(t) - 2, 1))]) AS sh
+       |  FROM toks),
+       |seeds AS (SELECT unnest(['s1','s2','s3','s4','s5','s6','s7','s8']) AS s),
+       |mh AS (
+       |  SELECT doc_id, s, min(md5(s || ':' || sh)) AS mh
+       |  FROM sh CROSS JOIN seeds GROUP BY doc_id, s),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM mh a JOIN mh b ON a.s = b.s AND a.mh = b.mh AND a.doc_id < b.doc_id)
+       |""".stripMargin
+
+  private val shinglesSqlCtes = "WITH " + shinglesCtes("documents")
 
   /** SQL form of VectorFunctions.lshBucket over a column named `emb`
     * (DOUBLE[]): the hyperplane weights are the SAME md5-derived dyadic
@@ -529,6 +533,27 @@ object Queries {
           |FROM cand p
           |JOIN shs a ON a.doc_id = p.doc_a
           |JOIN shs b ON b.doc_id = p.doc_b""".stripMargin)),
+
+    // The composed user-facing pipeline: exact dedup -> near-dup among
+    // canonicals (LSH + Jaccard verify) -> keep-first greedy drop.
+    Q("q45_dedup_corpus",
+      (s, d) => DedupOps.dedupCorpus(t(s, d, "documents"), 0.7),
+      Some(s"""WITH canon AS (
+              |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(text))),
+              |cd AS (SELECT d.doc_id, d.text FROM documents d
+              |       JOIN canon ON d.doc_id = canon.doc_id),
+              |${shinglesCtes("cd")},
+              |shs AS (SELECT doc_id, list_distinct(list(sh)) AS shl FROM sh GROUP BY doc_id),
+              |jac AS (
+              |  SELECT p.doc_a, p.doc_b,
+              |    round(CAST(len(list_intersect(a.shl, b.shl)) AS DOUBLE) /
+              |          len(list_distinct(list_concat(a.shl, b.shl))), 6) AS j
+              |  FROM cand p
+              |  JOIN shs a ON a.doc_id = p.doc_a
+              |  JOIN shs b ON b.doc_id = p.doc_b),
+              |dropd AS (SELECT DISTINCT doc_b FROM jac WHERE j >= 0.7)
+              |SELECT doc_id FROM cd
+              |WHERE doc_id NOT IN (SELECT doc_b FROM dropd)""".stripMargin)),
 
     Q("q34_simhash",
       (s, d) => DedupOps.simhash(t(s, d, "documents")),

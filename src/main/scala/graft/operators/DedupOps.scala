@@ -98,6 +98,22 @@ object DedupOps {
     ngramJaccard(docs, minhashLshPairs(docs, shingleN), shingleN)
       .filter(col("jaccard") >= threshold)
 
+  /** End-to-end corpus dedup, the composed user-facing pipeline: EXACT
+    * first (identical texts collapse to their min-doc_id canonical — which
+    * is also what defuses LSH's degenerate identical-signature buckets),
+    * then near-dup among the canonicals with keep-first greedy resolution
+    * (the larger id of every verified pair is dropped). Returns kept
+    * doc_ids. Every stage is a hash shuffle or a candidates-only verify —
+    * nothing here is quadratic in the corpus. */
+  def dedupCorpus(docs: DataFrame, threshold: Double = 0.7,
+                  shingleN: Int = 3): DataFrame = {
+    val canonIds = exact(docs).select(col("canonical_doc_id").as("doc_id"))
+    val canonDocs = docs.join(canonIds, "doc_id")
+    val dropIds = nearDupPairs(canonDocs, threshold, shingleN)
+      .select(col("doc_b").as("doc_id")).distinct()
+    canonDocs.join(dropIds, Seq("doc_id"), "left_anti").select("doc_id")
+  }
+
   /** 16-bit SimHash signature per doc (see TextFunctions.tokenHash16 for why
     * 16: the identical arithmetic is ANSI-SQL-expressible for the oracle).
     * Bit b of the signature is set iff sum over tokens of (+1 if bit b of
