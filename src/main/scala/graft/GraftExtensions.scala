@@ -26,10 +26,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("parse_temp"),
       new ExpressionInfo(classOf[graft.functions.ParseTemp].getName, "parse_temp"),
-      (exprs: Seq[Expression]) => {
-        if (exprs.length != 1) throw new IllegalArgumentException(
-          s"parse_temp expects exactly 1 argument, got ${exprs.length}")
-        graft.functions.ParseTemp(exprs.head)
-      }))
+      (exprs: Seq[Expression]) => graft.functions.ParseTemp.builder(exprs)))
   }
 }

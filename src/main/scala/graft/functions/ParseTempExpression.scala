@@ -62,11 +62,15 @@ object ParseTemp {
   def parse_temp(c: Column): Column =
     Bridge.column(ParseTemp(Bridge.expression(c)))
 
+  /** Arity-checked SQL builder — the single source for every registration
+    * path (temp-function and session-extension). */
+  def builder(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 1) throw new IllegalArgumentException(
+      s"parse_temp expects exactly 1 argument, got ${exprs.length}")
+    ParseTemp(exprs.head)
+  }
+
   /** Register as a SQL function (`SELECT parse_temp(text) ...`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Bridge.registerFunction(spark, "parse_temp", exprs => {
-      if (exprs.length != 1) throw new IllegalArgumentException(
-        s"parse_temp expects exactly 1 argument, got ${exprs.length}")
-      ParseTemp(exprs.head)
-    })
+    Bridge.registerFunction(spark, "parse_temp", builder)
 }

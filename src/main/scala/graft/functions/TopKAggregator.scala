@@ -26,9 +26,12 @@ final class TopKAggregator(k: Int) extends Aggregator[Scored, TopKBuf, TopKBuf] 
   // Double.compare gives a TOTAL order (NaN above all values — matching
   // the SQL sort semantics of both Spark and the DuckDB oracle); a plain
   // `>` would let a NaN score bypass the ordering and make results
-  // merge-order-dependent.
+  // merge-order-dependent. -0.0 is collapsed to 0.0 first: SQL treats
+  // them as equal (falling through to the id tie-break) but Double.compare
+  // orders -0.0 < 0.0.
+  private def norm(d: Double): Double = if (d == 0.0) 0.0 else d
   private def better(a: Scored, b: Scored): Boolean = {
-    val c = java.lang.Double.compare(a.score, b.score)
+    val c = java.lang.Double.compare(norm(a.score), norm(b.score))
     c > 0 || (c == 0 && a.id < b.id)
   }
 

@@ -111,7 +111,9 @@ object DedupOps {
     val canonDocs = docs.join(canonIds, "doc_id")
     val dropIds = nearDupPairs(canonDocs, threshold, shingleN)
       .select(col("doc_b").as("doc_id")).distinct()
-    canonDocs.join(dropIds, Seq("doc_id"), "left_anti").select("doc_id")
+    // anti-join against the ID set, not canonDocs — the output is ids
+    // only, so the exact-dedup+join subtree is not derived a third time
+    canonIds.join(dropIds, Seq("doc_id"), "left_anti")
   }
 
   /** 16-bit SimHash signature per doc (see TextFunctions.tokenHash16 for why
@@ -136,7 +138,11 @@ object DedupOps {
           (0 until 16).map(b =>
             when(element_at(sums, b + 1) > 0, lit(1L << b)).otherwise(lit(0L)))
             .reduce(_ + _))))
-    docs.select(col("doc_id"), sig.as("simhash"))
+    // NULL text emitted no row under the old explode+groupBy form (and
+    // emits none from the oracle's unnest) — keep that contract rather
+    // than colliding NULL docs with genuine all-zero signatures
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), sig.as("simhash"))
   }
 
   /** SimHash dedup groups: docs with identical signatures. */
