@@ -706,13 +706,19 @@ object Queries {
              |  CASE WHEN strlen(text) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
              |FROM documents""".stripMargin)),
 
-    // frame sampling over the decoded metadata (every 4th frame index)
+    // frame sampling over the decoded metadata (every 4th frame index).
+    // The driver entry serializes frame_idxs as a canonical CSV string:
+    // the gate's pandas compare cannot sort/hash an array-typed column
+    // (round-2 finding); the array-typed form stays pinned in
+    // MultimodalSpec ("sampleFrames emits every 4th index").
     Q("q38b_frame_sample",
       (s, d) => MultimodalOps.sampleFrames(
           MultimodalOps.decodeMeta(MultimodalOps.binarize(t(s, d, "documents"))), 4)
-        .withColumn("n_sampled", col("n_sampled").cast("long")),
+        .select(col("doc_id"), col("n_frames"),
+          array_join(col("frame_idxs"), ",").as("frame_idxs_csv"),
+          col("n_sampled").cast("long").as("n_sampled")),
       Some("""SELECT doc_id, strlen(text) % 16 + 1 AS n_frames,
-             |  range(0, strlen(text) % 16 + 1, 4) AS frame_idxs,
+             |  array_to_string(range(0, strlen(text) % 16 + 1, 4), ',') AS frame_idxs_csv,
              |  len(range(0, strlen(text) % 16 + 1, 4)) AS n_sampled
              |FROM documents""".stripMargin)),
 

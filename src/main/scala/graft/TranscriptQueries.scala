@@ -226,12 +226,17 @@ object TranscriptQueries {
     Q("t48_classify_columnar",
       (s, _) => transcripts(s).toDF()
         .select(col("conv_id"), col("turn_idx"),
-          graft.functions.ParseTemp.parse_temp(col("text")).as("temp"))
+          // ParseTemp yields NaN on a missing/malformed payload where the
+          // oracle's regexp_extract+CAST yields NULL — normalize NaN->NULL
+          // so the two can never diverge even if the generator grammar
+          // changes (GenSpec additionally pins the grammar itself)
+          nanvl(graft.functions.ParseTemp.parse_temp(col("text")),
+            lit(null).cast("double")).as("temp"))
         .withColumn("status",
-          // Spark SQL orders NaN above every double, so `temp > 99` would
-          // classify a missing payload HOT; the typed twin (Handlers
-          // .classify) yields NOMINAL for NaN — guard to keep them equal
-          when(isnan(col("temp")), "NOMINAL")
+          // NULL (was NaN) must classify NOMINAL like the typed twin
+          // (Handlers.classify); Spark SQL would otherwise order NaN above
+          // every double and classify a missing payload HOT
+          when(col("temp").isNull, "NOMINAL")
             .when(col("temp") < 97.0, "COLD")
             .when(col("temp") > 99.0, "HOT").otherwise("NOMINAL")),
       Some(s"""WITH c AS (SELECT conv_id, turn_idx,

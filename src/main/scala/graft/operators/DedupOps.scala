@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Observation}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -40,32 +41,86 @@ object DedupOps {
         array(MinhashSeeds.map(lit(_)): _*),
         minhashAll(col("text"), MinhashSeeds, shingleN))).as(Seq("seed", "mh")))
 
+  /** Default in-bucket membership cap for LSH candidate generation.
+    * Standard LSH practice: a collision group larger than this is almost
+    * always a degenerate corpus artifact (templated / boilerplate
+    * near-identical-but-unequal documents that survive exact dedup), and
+    * its O(m^2) pair fan-out from a single aggregation row is the classic
+    * skewed-key executor OOM. 256 bounds one bucket to at most
+    * C(257,2) = 32,896 candidate pairs and its aggregation buffer to 257
+    * ids, while sitting ~10x above the largest bucket observed on real
+    * (non-pathological) corpora at the test scales (max 25 at sf0.1). */
+  val MaxBucket: Int = 256
+
+  /** Bounded in-bucket pair generation — the shared candidate stage of
+    * every LSH family member (text minhash and embedding hyperplane
+    * buckets). Memory is bounded END TO END, not just post-hoc:
+    *
+    *  1. a `row_number <= maxBucket+1` filter directly over the window is
+    *     rewritten by Catalyst's InferWindowGroupLimit into a
+    *     WindowGroupLimit (partial before the shuffle, final after), so no
+    *     task ever buffers more than maxBucket+1 rows of one bucket — the
+    *     `collect_list` buffer is bounded BY CONSTRUCTION, and a hot
+    *     bucket's shuffle volume is clipped map-side too;
+    *  2. the +1 overhang exists only to detect truncation: a bucket that
+    *     still holds maxBucket+1 ids after the limit was larger and gets
+    *     counted in the `truncated_buckets` observed metric (no silent
+    *     caps), then sliced back to maxBucket before pair expansion.
+    *
+    * Truncation keeps the LOWEST ids (row_number ordered ascending), so the
+    * output is deterministic under any partitioning. Metrics are emitted
+    * through `Dataset.observe`: pass an `Observation` to read them
+    * programmatically, otherwise they travel as a named observation in
+    * QueryExecution/StreamingQueryProgress. */
+  def boundedBucketPairs(tagged: DataFrame, keyCols: Seq[String],
+      idCol: String, aName: String, bName: String,
+      maxBucket: Int = MaxBucket, metricName: String = "lsh_buckets",
+      obs: Option[Observation] = None): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
+    val limited = tagged
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxBucket + 1)
+      .drop("__rn")
+    val buckets = limited
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val metrics = Seq(
+      count(lit(1)).as("colliding_buckets"),
+      sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L))
+        .as("truncated_buckets"))
+    val metered = obs match {
+      case Some(o) => buckets.observe(o, metrics.head, metrics.tail: _*)
+      case None    => buckets.observe(metricName, metrics.head, metrics.tail: _*)
+    }
+    metered
+      .select(explode(
+        sortedIdPairs(slice(col("ids"), 1, maxBucket), aName, bName)).as("p"))
+      .select(col(s"p.$aName").as(aName), col(s"p.$bName").as(bName))
+      .distinct()
+  }
+
   /** LSH candidate pairs: docs sharing a minhash on ANY seed (banded LSH
     * with band size 1). Distinct (doc_a < doc_b) pairs.
     *
     * Shape: group signatures by (seed, minhash) bucket and emit in-bucket
     * pairs — signatures are computed exactly ONCE (a self-join would run
     * the whole signature stage twice) and the only shuffle is the bucket
-    * groupBy. A bucket's pair fan-out is quadratic in the collision-group
-    * size, which is the irreducible cost of LSH candidate generation; at
-    * corpus scale, run `exact` dedup first so identical documents (the one
-    * source of degenerate buckets) collapse to a single representative. */
-  def minhashLshPairs(docs: DataFrame, shingleN: Int = 3): DataFrame = {
-    val buckets = minhashSignatures(docs, shingleN)
-      .groupBy("seed", "mh")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    buckets
-      .select(explode(sortedIdPairs(col("ids"), "doc_a", "doc_b")).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .distinct()
-  }
+    * groupBy. In-bucket membership (and therefore both the aggregation
+    * buffer and the quadratic pair fan-out) is bounded by `maxBucket` with
+    * an observed truncated-bucket count — see boundedBucketPairs. Run
+    * `exact` dedup first so identical documents (the main source of
+    * degenerate buckets) collapse to a single representative. */
+  def minhashLshPairs(docs: DataFrame, shingleN: Int = 3,
+      maxBucket: Int = MaxBucket, obs: Option[Observation] = None): DataFrame =
+    boundedBucketPairs(minhashSignatures(docs, shingleN),
+      Seq("seed", "mh"), "doc_id", "doc_a", "doc_b",
+      maxBucket, "minhash_lsh_buckets", obs)
 
   /** All (a < b) pairs from an ascending-sorted id array — the in-bucket
     * pair generator shared by every LSH candidate stage (text minhash and
     * embedding hyperplane buckets). */
-  def sortedIdPairs(ids: org.apache.spark.sql.Column, aName: String,
-                    bName: String): org.apache.spark.sql.Column =
+  def sortedIdPairs(ids: Column, aName: String, bName: String): Column =
     flatten(transform(ids, (a, i) =>
       transform(slice(ids, i + lit(2), size(ids)),
         b => struct(a.as(aName), b.as(bName)))))
@@ -94,8 +149,9 @@ object DedupOps {
   /** Near-dup pairs: LSH candidates verified by exact Jaccard >= threshold.
     * The two-phase shape (cheap candidate gen, expensive verify on the
     * small candidate set) is the part that survives 100x scale-up. */
-  def nearDupPairs(docs: DataFrame, threshold: Double = 0.7, shingleN: Int = 3): DataFrame =
-    ngramJaccard(docs, minhashLshPairs(docs, shingleN), shingleN)
+  def nearDupPairs(docs: DataFrame, threshold: Double = 0.7, shingleN: Int = 3,
+                   maxBucket: Int = MaxBucket): DataFrame =
+    ngramJaccard(docs, minhashLshPairs(docs, shingleN, maxBucket), shingleN)
       .filter(col("jaccard") >= threshold)
 
   /** End-to-end corpus dedup, the composed user-facing pipeline: EXACT
@@ -106,10 +162,10 @@ object DedupOps {
     * doc_ids. Every stage is a hash shuffle or a candidates-only verify —
     * nothing here is quadratic in the corpus. */
   def dedupCorpus(docs: DataFrame, threshold: Double = 0.7,
-                  shingleN: Int = 3): DataFrame = {
+                  shingleN: Int = 3, maxBucket: Int = MaxBucket): DataFrame = {
     val canonIds = exact(docs).select(col("canonical_doc_id").as("doc_id"))
     val canonDocs = docs.join(canonIds, "doc_id")
-    val dropIds = nearDupPairs(canonDocs, threshold, shingleN)
+    val dropIds = nearDupPairs(canonDocs, threshold, shingleN, maxBucket)
       .select(col("doc_b").as("doc_id")).distinct()
     // anti-join against the ID set, not canonDocs — the output is ids
     // only, so the exact-dedup+join subtree is not derived a third time

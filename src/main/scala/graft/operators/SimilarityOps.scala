@@ -118,21 +118,21 @@ object SimilarityOps {
     * computes all band buckets (codegen'd mults over plan-literal
     * md5-derived weights), ONE groupBy on (band, bucket) emits in-bucket
     * pairs — buckets are never self-joined, so the scan runs once — and
-    * the exact cosine is verified on distinct candidates only. */
+    * the exact cosine is verified on distinct candidates only. In-bucket
+    * membership (aggregation buffer AND quadratic pair fan-out) is bounded
+    * by `maxBucket` with an observed truncated-bucket count — see
+    * DedupOps.boundedBucketPairs. */
   def cosineNearDupPairsBucketed(emb: DataFrame, tau: Double = 0.95,
                                  dim: Int = 64, bands: Int = 4,
-                                 bitsPerBand: Int = 8): DataFrame = {
+                                 bitsPerBand: Int = 8,
+                                 maxBucket: Int = DedupOps.MaxBucket,
+                                 obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val bucketArr = array((0 until bands).map(bd =>
       lshBucket(col("embedding"), dim, bitsPerBand, firstBit = bd * bitsPerBand)): _*)
     val tagged = emb.select(col("vec_id"),
       posexplode(bucketArr).as(Seq("band", "bucket")))
-    val cand = tagged.groupBy("band", "bucket")
-      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(
-        DedupOps.sortedIdPairs(col("ids"), "vec_a", "vec_b")).as("p"))
-      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"))
-      .distinct()
+    val cand = DedupOps.boundedBucketPairs(tagged, Seq("band", "bucket"),
+      "vec_id", "vec_a", "vec_b", maxBucket, "cosine_lsh_buckets", obs)
     val e = emb.select(col("vec_id"), col("embedding"))
     cand
       .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("e_a")), "vec_a")

@@ -32,6 +32,33 @@ class GenSpec extends SparkSpec {
     }
   }
 
+  test("every generated turn parses identically under the oracle regex and parseTemp") {
+    // The t40/t41/t41b/t48/t51 oracles compute temp via
+    // regexp_extract(text, 'temp=(-?[0-9][0-9.]*)') + CAST, while the
+    // engine side uses Handlers.parseTemp (NaN on a missing/malformed
+    // payload, where SQL would yield NULL). Their equivalence rests on the
+    // generator grammar ALWAYS emitting a well-formed trailing payload —
+    // this test makes a grammar change fail loudly instead of silently
+    // diverging at the hash gate (round-2 ADVICE).
+    val re = "temp=(-?[0-9][0-9.]*)".r
+    val cfgs = Seq(
+      TranscriptQueries.VerifyCfg,
+      TranscriptGen.Config(nConvs = 200L, seed = 42L, meanLen = 100,
+        maxLen = 400, hotConvs = 3, hotLen = 1000))
+    cfgs.foreach { c =>
+      (0L until c.nConvs).foreach { i =>
+        TranscriptGen.turnsFor(i, c).foreach { t =>
+          val m = re.findFirstMatchIn(t.text)
+          assert(m.isDefined, s"turn without temp= payload: ${t.text}")
+          val viaRegex = m.get.group(1).toDouble
+          val viaParser = graft.state.Handlers.parseTemp(t.text)
+          assert(viaParser == viaRegex,
+            s"parseTemp=$viaParser regex=$viaRegex for: ${t.text}")
+        }
+      }
+    }
+  }
+
   test("hot conversation skew knob works") {
     val hot = TranscriptGen.Config(nConvs = 10L, hotConvs = 1, hotLen = 500)
     assert(TranscriptGen.turnsFor(0L, hot).size == 500)
