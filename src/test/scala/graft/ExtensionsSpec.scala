@@ -34,6 +34,12 @@ class ExtensionsSpec extends SparkSpec {
       val obj = graft.state.AutomatonRunner.runBatch(turns, Handlers.ChangeDetector)
         .collect().map(l => (l.conv_id, l.turn_idx, l.status)).toSet
       assert(native == obj && native.nonEmpty)
+      // on an extension-configured session the convenience self-registration
+      // must be a NO-OP: the run above was planned by the INJECTED strategy
+      // (the spark-submit deployment path Verify also uses), not by a
+      // fallback through experimental.extraStrategies
+      assert(ext.experimental.extraStrategies.isEmpty,
+        "ConversationFold.run must not self-register when the extension is present")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
