@@ -93,16 +93,42 @@ object TranscriptQueries {
     * verify session, so the STREAMING form (not just a batch dual) is what
     * the DuckDB hash gate checks. */
   private def runTranscriptStream(spark: SparkSession, tag: String,
-      pipeline: Dataset[Turn] => DataFrame): DataFrame = {
+      pipeline: Dataset[Turn] => DataFrame,
+      input: SparkSession => Dataset[Turn] = transcripts): DataFrame = {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${System.nanoTime()}"
     val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
-    TranscriptTable.writeTimeSliced(transcripts(spark), in, sliceMinutes = 60)
+    TranscriptTable.writeTimeSliced(input(spark), in, sliceMinutes = 60)
     appendSentinel(spark, in)
     val stream = FlowSource.stream(spark, in, maxFilesPerTrigger = Some(4))
     val sink = FlowSink.runAvailableNow(pipeline(stream), out, ckpt)
     // `epoch` is the sink's commit-lineage column, not part of the result
     sink.readCommitted(spark).drop("epoch")
   }
+
+  /** Stream-stream range join as a REAL streaming query: both sides of the
+    * user-vs-tool join are branches of one file stream, each carrying its
+    * own watermark; the time-range condition bounds join state on both
+    * sides (eviction once the watermark passes the range). Inner-join
+    * matches emit in the micro-batch where they complete, so the result is
+    * independent of the drain. Oracle: identical SQL to t44 (batch dual). */
+  def userToolJoinStream(spark: SparkSession): DataFrame =
+    runTranscriptStream(spark, "t54", ds =>
+      StreamJoins.userToolPairs(ds, "5 minutes", watermark = Some("90 minutes"))
+        .toDF())
+
+  /** Watermark-bounded streaming dedup as a REAL streaming query over an
+    * input stream carrying every turn TWICE (redelivery): state for a
+    * (conv_id, turn_idx) identity is kept only inside the watermark
+    * horizon — the reference's redelivery-window guarantee
+    * (`worker.py:158-175`) with bounded state. First-seen rows emit
+    * immediately; the sentinel rows are excluded up front (emission does
+    * not depend on the watermark). Oracle: identical SQL to t50. */
+  def dedupStream(spark: SparkSession): DataFrame =
+    runTranscriptStream(spark, "t55", ds =>
+      graft.operators.StreamingDedup.withEventTimeBound(
+        ds.filter(_.conv_id != AutomatonRunner.SentinelConvId),
+        "90 minutes").toDF(),
+      input = s => { val t = transcripts(s); t.union(t) })
 
   /** Session windows as a REAL streaming query (driver-gated streaming
     * window coverage — round-2 judge ask): watermark -> sentinel filter
@@ -199,6 +225,23 @@ object TranscriptQueries {
        |  min(turn_idx) AS first_idx, max(turn_idx) AS last_idx
        |FROM $T GROUP BY conv_id""".stripMargin
 
+  /** user-vs-tool range join — shared by the batch (t44) and stream-stream
+    * (t54) forms. */
+  private val userToolJoinSql: String =
+    s"""WITH u AS (SELECT conv_id, turn_idx, ts FROM $T WHERE role = 'user'),
+       |tl AS (SELECT conv_id, turn_idx, tool, ts FROM $T WHERE role = 'tool')
+       |SELECT u.conv_id AS conv_id, u.turn_idx AS user_turn_idx,
+       |  tl.turn_idx AS tool_turn_idx, tl.tool AS tool,
+       |  u.ts AS user_ts, tl.ts AS tool_ts,
+       |  CAST(epoch(tl.ts) AS BIGINT) - CAST(epoch(u.ts) AS BIGINT) AS lag_sec
+       |FROM u JOIN tl ON u.conv_id = tl.conv_id
+       |  AND tl.ts >= u.ts AND tl.ts <= u.ts + INTERVAL '300 seconds'""".stripMargin
+
+  /** redelivery dedup — shared by the batch (t50) and watermark-bounded
+    * streaming (t55) forms. */
+  private val dedupSql: String =
+    s"SELECT DISTINCT conv_id, turn_idx, role, text, tool, ts FROM $T"
+
   val all: Seq[Q] = Seq(
     Q("t40_cep_change_batch", (s, _) => changeDetectBatch(s), Some(changeDetectSql)),
     // the streaming twin must produce the identical row set (exactly-once,
@@ -225,14 +268,10 @@ object TranscriptQueries {
     Q("t52_conv_sessions_stream", (s, _) => sessionsStream(s), Some(sessionsSql)),
     Q("t44_user_tool_join",
       (s, _) => StreamJoins.userToolPairs(transcripts(s), "5 minutes").toDF(),
-      Some(s"""WITH u AS (SELECT conv_id, turn_idx, ts FROM $T WHERE role = 'user'),
-              |tl AS (SELECT conv_id, turn_idx, tool, ts FROM $T WHERE role = 'tool')
-              |SELECT u.conv_id AS conv_id, u.turn_idx AS user_turn_idx,
-              |  tl.turn_idx AS tool_turn_idx, tl.tool AS tool,
-              |  u.ts AS user_ts, tl.ts AS tool_ts,
-              |  CAST(epoch(tl.ts) AS BIGINT) - CAST(epoch(u.ts) AS BIGINT) AS lag_sec
-              |FROM u JOIN tl ON u.conv_id = tl.conv_id
-              |  AND tl.ts >= u.ts AND tl.ts <= u.ts + INTERVAL '300 seconds'""".stripMargin)),
+      Some(userToolJoinSql)),
+    // the REAL streaming form of t44: a watermarked stream-stream range
+    // join through the exactly-once sink commits the identical row set
+    Q("t54_user_tool_join_stream", (s, _) => userToolJoinStream(s), Some(userToolJoinSql)),
     Q("t45_asof_user_tool",
       (s, _) => StreamJoins.asOfUserForTool(transcripts(s)),
       Some(s"""WITH x AS (SELECT conv_id, turn_idx, role, tool, ts,
@@ -326,6 +365,9 @@ object TranscriptQueries {
         val t = transcripts(s)
         graft.operators.StreamingDedup.exact(t.union(t)).toDF()
       },
-      Some(s"SELECT DISTINCT conv_id, turn_idx, role, text, tool, ts FROM $T"))
+      Some(dedupSql)),
+    // the REAL streaming form of t50: watermark-bounded dedup over a
+    // stream carrying every turn twice — same oracle
+    Q("t55_dedup_redelivery_stream", (s, _) => dedupStream(s), Some(dedupSql))
   )
 }
