@@ -16,10 +16,19 @@ import graft.state.{AutomatonRunner, Handlers}
   *  2. the north-rule streaming CEP job (file stream -> watermark -> keyed
   *     ordered automaton -> exactly-once sink) over deterministic generated
   *     transcripts, run at two parallelism levels (SPARK_GRAFT_LEVELS,
-  *     default local[2] vs local[8]; shuffle partitions scaled with cores)
-  *     on bit-identical input — the in-sandbox stand-in for the N vs 4N
-  *     executor scaling criterion. Reported: turns/sec at both levels,
-  *     scaling efficiency (T_hi / T_lo) / (hi/lo), p50/p99 trigger latency.
+  *     default local[2] vs local[8]) on bit-identical input — the
+  *     in-sandbox stand-in for the N vs 4N executor scaling criterion.
+  *     The JOB's config (spark.sql.shuffle.partitions = 32, this repo's
+  *     production setting) is held FIXED across both levels, exactly as a
+  *     spark-submit job keeps its partitioning while executors are added;
+  *     only parallelism varies. (Letting partitions track the core count —
+  *     the round-1/2 methodology — silently hands the low level a
+  *     different, cheaper physical plan; BASELINE.md records the full
+  *     partitioning matrix and the confounders in both directions.)
+  *     Efficiency is the MEDIAN over interleaved (lo,hi) pass pairs, so a
+  *     host-noise burst at one level cannot sink or inflate the artifact.
+  *     Reported: turns/sec at both levels, scaling efficiency
+  *     (T_hi / T_lo) / (hi/lo), p50/p99 trigger latency.
   */
 object Bench {
 
@@ -40,13 +49,37 @@ object Bench {
     if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
       "/dev/shm" else System.getProperty("java.io.tmpdir")
 
-  private def session(cpus: Int, localDir: String): SparkSession = {
+  /** @param shufflePartitions the JOB's partitioning. The scaling pair
+    *   passes a constant for BOTH levels: shuffle/state partitioning is a
+    *   property of the job, not the cluster — a production job keeps it
+    *   fixed while executors are added, and letting it track the core
+    *   count would hand the low level a different (cheaper) plan and
+    *   overstate its throughput. */
+  private def session(cpus: Int, localDir: String,
+      shufflePartitions: Int, executorProcs: Boolean = false): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    val s = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // executorProcs = the faithful "N executors" form: local-cluster mode
+    // launches N SEPARATE single-core executor JVMs (own heap/GC/memory
+    // manager, netty shuffle between processes) — the same process
+    // topology a standalone/YARN cluster gives one multi-core box, vs
+    // local[n]'s N task threads inside one JVM. Executors need this JVM's
+    // classpath (graft classes live in sbt's classes dir, not a jar).
+    val b0 = SparkSession.builder()
+      .master(if (executorProcs) s"local-cluster[$cpus,1,2560]"
+              else s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+    val b = if (executorProcs)
+      b0.config("spark.executor.extraClassPath",
+          System.getProperty("java.class.path"))
+        .config("spark.executor.memory", "2560m")
+        // the executor launcher resolves the Scala dir from this env var
+        // (the spark-submit shell scripts export it; a bare JVM must pass
+        // it through the executor command environment instead)
+        .config("spark.executorEnv.SPARK_SCALA_VERSION", "2.13")
+    else b0
+    val s = b
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", localDir)
@@ -79,7 +112,13 @@ object Bench {
     * interleaved (lo, hi, lo, hi, ...) pass pairs — see main. */
   private def streamOnePass(inDir: String, workBase: String, cpus: Int,
       tag: String): (ProgressMetrics.Summary, Double) = {
-    val spark = session(cpus, s"$workBase/spark_local_${tag}_c$cpus")
+    // fixed job partitioning across levels (see session); 32 = the
+    // repo-wide production default, overridable for experiments
+    val parts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "32").toInt
+    // SPARK_GRAFT_EXECUTORS=1 runs each level as N separate executor JVMs
+    // (local-cluster) instead of N threads — see session
+    val procs = sys.env.get("SPARK_GRAFT_EXECUTORS").contains("1")
+    val spark = session(cpus, s"$workBase/spark_local_${tag}_c$cpus", parts, procs)
     try {
       import spark.implicits._
       implicit val enc = implicitly[org.apache.spark.sql.Encoder[graft.model.LabeledTurn]]
@@ -126,7 +165,7 @@ object Bench {
     // ---- leg 1: batch headline operators ------------------------------
     val work = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(scratchBase), "graft_bench").toString
-    val spark0 = session(cpus, s"$work/spark_local")
+    val spark0 = session(cpus, s"$work/spark_local", cpus)
     val qmap = SparkEntry.queries
     val skipBatch = sys.env.get("SPARK_GRAFT_SKIP_BATCH").contains("1")
     // warm up codegen/IO paths so the first timed query isn't charged for
@@ -220,11 +259,15 @@ object Bench {
       }
 
     // ---- leg 2: streaming scaling pair --------------------------------
-    // input size scales with the sf of the batch tables
-    val nConvs =
+    // input size scales with the sf of the batch tables;
+    // SPARK_GRAFT_STREAM_CONVS overrides (a bigger stream amortizes fixed
+    // per-trigger cost — state-store open/commit per partition — which
+    // otherwise dominates the high-parallelism leg on a fast host and
+    // reads as false scaling loss)
+    val nConvs = sys.env.get("SPARK_GRAFT_STREAM_CONVS").map(_.toLong).getOrElse(
       if (sfDir.endsWith("0.1")) 110000L
       else if (sfDir.endsWith("0.01")) 11000L
-      else 1500L
+      else 1500L)
     val inDir = s"$work/transcripts"
     // long conversations (mean ~100 turns): realistic for agent transcripts
     // and keeps state-key cardinality ~1% of row count
