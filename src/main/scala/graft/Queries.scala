@@ -437,6 +437,22 @@ object Queries {
        |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM b""".stripMargin
   }
 
+  /** Shared oracle of the q36c (batch) and q36d (real streaming) forms of
+    * the corpus near-dup gate — identical committed row sets required. */
+  private val nearDupVsCorpusSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |b AS (SELECT vec_id, emb,
+       |  ${lshBucketSql(64, 8, 0)} AS b0,
+       |  ${lshBucketSql(64, 8, 8)} AS b1,
+       |  ${lshBucketSql(64, 8, 16)} AS b2,
+       |  ${lshBucketSql(64, 8, 24)} AS b3 FROM e),
+       |q AS (SELECT * FROM b WHERE vec_id < 50)
+       |SELECT DISTINCT q.vec_id AS in_id, c.vec_id AS corpus_id,
+       |  round(list_cosine_similarity(q.emb, c.emb), 6) AS cos
+       |FROM q JOIN b c ON q.vec_id <> c.vec_id
+       |  AND (q.b0 = c.b0 OR q.b1 = c.b1 OR q.b2 = c.b2 OR q.b3 = c.b3)
+       |WHERE round(list_cosine_similarity(q.emb, c.emb), 6) >= 0.25""".stripMargin
+
   private val pipelineOps: Seq[Q] = Seq(
     Q("q27_dedup_exact",
       (s, d) => DedupOps.exact(t(s, d, "documents")),
@@ -613,18 +629,28 @@ object Queries {
           emb.filter(col("vec_id") < 50), emb, 0.25, dim = 64, bands = 4,
           bitsPerBand = 8)
       },
-      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-              |b AS (SELECT vec_id, emb,
-              |  ${lshBucketSql(64, 8, 0)} AS b0,
-              |  ${lshBucketSql(64, 8, 8)} AS b1,
-              |  ${lshBucketSql(64, 8, 16)} AS b2,
-              |  ${lshBucketSql(64, 8, 24)} AS b3 FROM e),
-              |q AS (SELECT * FROM b WHERE vec_id < 50)
-              |SELECT DISTINCT q.vec_id AS in_id, c.vec_id AS corpus_id,
-              |  round(list_cosine_similarity(q.emb, c.emb), 6) AS cos
-              |FROM q JOIN b c ON q.vec_id <> c.vec_id
-              |  AND (q.b0 = c.b0 OR q.b1 = c.b1 OR q.b2 = c.b2 OR q.b3 = c.b3)
-              |WHERE round(list_cosine_similarity(q.emb, c.emb), 6) >= 0.25""".stripMargin)),
+      Some(nearDupVsCorpusSql)),
+
+    // The REAL streaming form of q36c: the incoming side arrives as a
+    // parquet file STREAM (several micro-batches), flows through the
+    // identical stateless broadcast gate, and commits through the
+    // exactly-once epoch-idempotent sink — zero streaming state, so no
+    // watermark is needed and the committed row set must equal the batch
+    // twin's. Same oracle.
+    Q("q36d_neardup_vs_corpus_stream",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_q36d_${System.nanoTime()}"
+        emb.filter(col("vec_id") < 50).repartition(4)
+          .write.mode("overwrite").parquet(s"$base/in")
+        val incoming = s.readStream.schema(emb.schema)
+          .option("maxFilesPerTrigger", "2").parquet(s"$base/in")
+        val out = SimilarityOps.nearDupAgainstCorpus(
+          incoming, emb, 0.25, dim = 64, bands = 4, bitsPerBand = 8)
+        graft.flow.FlowSink.runAvailableNow(out, s"$base/out", s"$base/ckpt")
+          .readCommitted(s).drop("epoch")
+      },
+      Some(nearDupVsCorpusSql)),
 
     // Deterministic md5-bucket train/held-out split — stable under any
     // partitioning/cluster size (rand(seed) is not), engine-replayable.
@@ -653,6 +679,34 @@ object Queries {
               |s AS (SELECT q.query_id, c.vec_id AS cand_id,
               |    round(list_cosine_similarity(q.qe, c.emb), 6) AS cos
               |  FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.query_id),
+              |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              |    ORDER BY cos DESC, cand_id) AS INT) AS rk FROM s)
+              |SELECT query_id, cand_id, cos, rk FROM r WHERE rk <= 5""".stripMargin)),
+
+    // Banded (multi-table) ANN — ORs candidates across 4 independent 4-bit
+    // band tables before ranking (the production similarity-search path;
+    // q37's single table is the recall-weak baseline it replaces). Same
+    // md5-replayable hyperplanes, so the oracle replays the bucket
+    // assignment bit-exactly; DISTINCT in the oracle mirrors the Spark
+    // side's stateless first-matching-band dedup.
+    Q("q37b_ann_lsh_banded",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        SimilarityOps.lshTopKBanded(emb, emb.filter(col("vec_id") < 10),
+          dim = 64, k = 5, bands = 4, bitsPerBand = 4)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              |b AS (SELECT vec_id, emb,
+              |  ${lshBucketSql(64, 4, 0)} AS b0,
+              |  ${lshBucketSql(64, 4, 4)} AS b1,
+              |  ${lshBucketSql(64, 4, 8)} AS b2,
+              |  ${lshBucketSql(64, 4, 12)} AS b3 FROM e),
+              |q AS (SELECT vec_id AS query_id, emb AS qe,
+              |  b0 AS q0, b1 AS q1, b2 AS q2, b3 AS q3 FROM b WHERE vec_id < 10),
+              |s AS (SELECT DISTINCT q.query_id, c.vec_id AS cand_id,
+              |    round(list_cosine_similarity(q.qe, c.emb), 6) AS cos
+              |  FROM q JOIN b c ON c.vec_id <> q.query_id
+              |    AND (q.q0 = c.b0 OR q.q1 = c.b1 OR q.q2 = c.b2 OR q.q3 = c.b3)),
               |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
               |    ORDER BY cos DESC, cand_id) AS INT) AS rk FROM s)
               |SELECT query_id, cand_id, cos, rk FROM r WHERE rk <= 5""".stripMargin)),
@@ -735,7 +789,22 @@ object Queries {
              |  CASE WHEN greatest(width, height) <= 0 THEN 0
              |       ELSE CAST(floor(height * 32.0 / greatest(width, height)) AS BIGINT)
              |  END AS out_h
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // batched feature extraction (the mapInPandas-analogue stub) — gated
+    // via a per-dimension projection: the float values are dyadic
+    // rationals (h16/65536 - 1/2), so the double cast is exact and the
+    // oracle regenerates them from the same md5 derivation. The
+    // array-typed form stays pinned in MultimodalSpec (the gate's pandas
+    // compare cannot hash array columns — same finding as q38b).
+    Q("q38d_extract_features",
+      (s, d) => MultimodalOps.extractFeatures(
+          MultimodalOps.binarize(t(s, d, "documents")), 8).toDF()
+        .select(col("doc_id"), posexplode(col("feature")).as(Seq("dim_idx", "f")))
+        .select(col("doc_id"), col("dim_idx"), col("f").cast("double").as("f")),
+      Some(s"""SELECT doc_id, CAST(j AS INT) AS dim_idx,
+              |  (${h16Sql("text || ':' || CAST(j AS VARCHAR)")}) / 65536.0 - 0.5 AS f
+              |FROM documents CROSS JOIN (SELECT unnest(range(0, 8)) AS j)""".stripMargin))
   )
 
   val all: Seq[Q] = relational ++ eventCep ++ pipelineOps ++ TranscriptQueries.all

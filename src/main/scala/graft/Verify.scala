@@ -56,6 +56,46 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+
+    // LSH bucket-cap truncation probe (round-3 advice): the MaxBucket cap
+    // deliberately changes candidate semantics when a bucket overflows, but
+    // the DuckDB oracles are UNCAPPED — if truncation ever fires at the
+    // gate's scale, the hash mismatch it causes must come with a pointer to
+    // the cause, not be an opaque failure. Re-run just the candidate stages
+    // with explicit Observations and shout if any bucket was truncated.
+    try {
+      import org.apache.spark.sql.Observation
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val probes = Seq(
+        ("minhash_lsh (q32/q33/q45)", {
+          val o = new Observation()
+          graft.operators.DedupOps.minhashLshPairs(docs, obs = Some(o)).count()
+          o
+        }),
+        ("cosine_lsh (q36b)", {
+          val o = new Observation()
+          graft.operators.SimilarityOps
+            .cosineCandidatesBucketed(emb, obs = Some(o)).count()
+          o
+        }))
+      probes.foreach { case (tag, o) =>
+        val m = o.get
+        val trunc = m("truncated_buckets").asInstanceOf[Long]
+        System.err.println(s"[verify] lsh cap probe $tag: $m")
+        if (trunc > 0)
+          System.err.println(
+            s"""[verify] ******************************************************
+               |[verify] WARNING: $trunc bucket(s) TRUNCATED at MaxBucket=${graft.operators.DedupOps.MaxBucket}
+               |[verify] in $tag at this scale. The capped Spark result will
+               |[verify] NOT match its uncapped DuckDB oracle — any hash
+               |[verify] mismatch in the LSH family is caused by this cap,
+               |[verify] not by operator logic.
+               |[verify] ******************************************************""".stripMargin)
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] lsh cap probe failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

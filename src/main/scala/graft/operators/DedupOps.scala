@@ -85,10 +85,12 @@ object DedupOps {
       .groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
+    // coalesce: on a corpus with zero colliding buckets sum() is NULL —
+    // programmatic consumers of the "no silent caps" metric get a long 0
     val metrics = Seq(
       count(lit(1)).as("colliding_buckets"),
-      sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L))
-        .as("truncated_buckets"))
+      coalesce(sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L)),
+        lit(0L)).as("truncated_buckets"))
     val metered = obs match {
       case Some(o) => buckets.observe(o, metrics.head, metrics.tail: _*)
       case None    => buckets.observe(metricName, metrics.head, metrics.tail: _*)
@@ -150,8 +152,9 @@ object DedupOps {
     * The two-phase shape (cheap candidate gen, expensive verify on the
     * small candidate set) is the part that survives 100x scale-up. */
   def nearDupPairs(docs: DataFrame, threshold: Double = 0.7, shingleN: Int = 3,
-                   maxBucket: Int = MaxBucket): DataFrame =
-    ngramJaccard(docs, minhashLshPairs(docs, shingleN, maxBucket), shingleN)
+                   maxBucket: Int = MaxBucket,
+                   obs: Option[Observation] = None): DataFrame =
+    ngramJaccard(docs, minhashLshPairs(docs, shingleN, maxBucket, obs), shingleN)
       .filter(col("jaccard") >= threshold)
 
   /** End-to-end corpus dedup, the composed user-facing pipeline: EXACT
@@ -162,10 +165,11 @@ object DedupOps {
     * doc_ids. Every stage is a hash shuffle or a candidates-only verify —
     * nothing here is quadratic in the corpus. */
   def dedupCorpus(docs: DataFrame, threshold: Double = 0.7,
-                  shingleN: Int = 3, maxBucket: Int = MaxBucket): DataFrame = {
+                  shingleN: Int = 3, maxBucket: Int = MaxBucket,
+                  obs: Option[Observation] = None): DataFrame = {
     val canonIds = exact(docs).select(col("canonical_doc_id").as("doc_id"))
     val canonDocs = docs.join(canonIds, "doc_id")
-    val dropIds = nearDupPairs(canonDocs, threshold, shingleN, maxBucket)
+    val dropIds = nearDupPairs(canonDocs, threshold, shingleN, maxBucket, obs)
       .select(col("doc_b").as("doc_id")).distinct()
     // anti-join against the ID set, not canonDocs — the output is ids
     // only, so the exact-dedup+join subtree is not derived a third time

@@ -66,27 +66,32 @@ object MultimodalOps {
   final case class Feature(doc_id: Long, feature: Seq[Float])
 
   /** STUB feature extraction (the mapInPandas-analogue batch UDF): a
-    * deterministic rolling-hash "embedding" of the payload bytes. The
-    * plumbing is the real contract — one model init per PARTITION (the
-    * expensive step with a real encoder), streaming row iteration, typed
-    * columnar output — so swapping in ONNX/JNI inference changes only the
-    * body of the row mapper. */
+    * deterministic md5-derived "embedding" of the payload bytes. The
+    * plumbing is the real contract — one model init per PARTITION (here
+    * the MessageDigest instance; with a real encoder, the ONNX/JNI
+    * session — the expensive step), streaming row iteration, typed
+    * columnar output — so swapping in real inference changes only the
+    * body of the row mapper.
+    *
+    * Feature j = h16(md5(payload ++ ":j")) / 65536 - 1/2, a dyadic
+    * rational in [-0.5, 0.5) exactly representable in float32 — the same
+    * engine-replayable-randomness derivation as TextFunctions.tokenHash16
+    * (CLAUDE.md invariant 10), so the q38d oracle regenerates every value
+    * bit-exactly in ANSI SQL. */
   def extractFeatures(docsWithPayload: DataFrame, dim: Int = 8): Dataset[Feature] = {
     implicit val enc = Encoders.product[Feature]
     docsWithPayload.select("doc_id", "payload").mapPartitions { it =>
-      // real impl: val model = OnnxSession.open(...) once per partition
+      // per-partition "model init" (real impl: OnnxSession.open(...))
+      val md = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
         val p = r.getAs[Array[Byte]](1)
-        val acc = new Array[Long](dim)
-        var h = 1125899906842597L
-        var i = 0
-        while (i < p.length) {
-          h = h * 31 + (p(i) & 0xff)
-          acc(i % dim) ^= h
-          i += 1
-        }
-        Feature(r.getLong(0),
-          acc.toSeq.map(a => ((a >>> 40).toInt / 16777216.0f) - 0.5f))
+        Feature(r.getLong(0), (0 until dim).map { j =>
+          md.reset()
+          md.update(p)
+          val h = md.digest(s":$j".getBytes("UTF-8"))
+          val h16 = ((h(0) & 0xff) << 8) | (h(1) & 0xff)
+          h16 / 65536.0f - 0.5f
+        })
       }
     }
   }

@@ -33,7 +33,7 @@ object AutomatonRunner {
   val SentinelConvId = "__eos__"
 
   /** Streaming state row as stored: a FLAT product type (binary, binary,
-    * int, long), so Spark encodes it through Tungsten with a trivial
+    * int, long, long), so Spark encodes it through Tungsten with a trivial
     * UnsafeProjection. Two profiling lessons are baked into this shape:
     *  - a generic blob encoder (Encoders.kryo over the whole state) cost
     *    ~1ms/key/micro-batch in object-graph serialization — minutes per
@@ -43,12 +43,24 @@ object AutomatonRunner {
     *    regex-bound in CodeFormatter) — task threads spent whole triggers
     *    generating code instead of running it.
     * The automaton state `S` and the (post-contiguity rare, small) gap
-    * buffer travel as pooled-kryo blobs instead. */
+    * buffer travel as pooled-kryo blobs instead.
+    *
+    * `timerTs` is the event-time timer currently armed for this key
+    * (0 = none) — carried so the transformWithState runtime can (a) skip
+    * the delete/re-register cycle entirely when the due time is unchanged
+    * and (b) delete its one stale timer BY KEY instead of scanning
+    * `listTimers()` (a RocksDB timer-column-family iterator per key per
+    * micro-batch — profiled as the bulk of the TWS-vs-fMGWS throughput gap
+    * in round 3). The flatMapGroupsWithState runtime ignores the field
+    * (GroupState owns its timeout natively). NOTE: adding the field is a
+    * state-SCHEMA change — checkpoints written by the 4-field row are not
+    * resumable across this boundary. */
   final case class ConvStateRow(
       sBytes: Array[Byte],
       bufBytes: Array[Byte],
       maxEmittedIdx: Int,
-      maxSeenTs: Long)
+      maxSeenTs: Long,
+      timerTs: Long)
 
   private object StateSer {
     import org.apache.spark.{SparkConf, SparkEnv}
@@ -185,7 +197,8 @@ object AutomatonRunner {
     }
     val held = hold.result()
     (ConvStateRow(StateSer.ser(s),
-      if (held.isEmpty) null else StateSer.ser(held), next - 1, maxTs),
+      if (held.isEmpty) null else StateSer.ser(held), next - 1, maxTs,
+      st0.timerTs),
       out.result())
   }
 
@@ -210,7 +223,7 @@ object AutomatonRunner {
     if (st0.sBytes == null) a.initial else StateSer.deser[S](st0.sBytes),
     if (st0.bufBytes == null) Nil else StateSer.deser[List[Turn]](st0.bufBytes))
 
-  val EmptyStateRow: ConvStateRow = ConvStateRow(null, null, -1, Long.MinValue)
+  val EmptyStateRow: ConvStateRow = ConvStateRow(null, null, -1, Long.MinValue, 0L)
 
   /** Streaming execution on Spark 4's transformWithState — the modern
     * arbitrary-state runtime (RocksDB-native state, explicit per-key
@@ -234,8 +247,12 @@ object AutomatonRunner {
   }
 
   /** The TWS processor: one flat ConvStateRow ValueState per conversation
-    * plus exactly one live event-time timer (delete-then-register per
-    * batch) carrying the idle-gap eviction. */
+    * plus exactly one live event-time timer carrying the idle-gap
+    * eviction. The armed due-time travels IN the state row (`timerTs`), so
+    * a micro-batch that leaves the due time unchanged touches no timer
+    * state at all, and one that moves it issues a single keyed
+    * deleteTimer(oldTs) + registerTimer(newTs) — never a listTimers()
+    * scan (that per-key iterator was the round-3 TWS throughput gap). */
   final class ConvProcessor[S, O](a: TurnAutomaton[S, O], idleGapMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[String, Turn, O] {
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig}
@@ -252,13 +269,16 @@ object AutomatonRunner {
       val (s0, buffered) = decodeState(a, st0)
       val (st1, out) = stepKey(a, st0, s0, buffered, rows,
         timerValues.getCurrentWatermarkInMs())
-      state.update(st1)
       if (st1.maxSeenTs != Long.MinValue) {
-        val h = getHandle
-        h.listTimers().toList.foreach(h.deleteTimer)
-        h.registerTimer(math.max(st1.maxSeenTs + idleGapMs,
-          timerValues.getCurrentWatermarkInMs() + 1))
-      }
+        val due = math.max(st1.maxSeenTs + idleGapMs,
+          timerValues.getCurrentWatermarkInMs() + 1)
+        if (due != st0.timerTs) {
+          val h = getHandle
+          if (st0.timerTs != 0L) h.deleteTimer(st0.timerTs)
+          h.registerTimer(due)
+        }
+        state.update(st1.copy(timerTs = due))
+      } else state.update(st1)
       out.iterator
     }
 
@@ -273,9 +293,11 @@ object AutomatonRunner {
         state.clear()
         out.iterator
       } else {
-        // stale timer from a superseded registration: re-arm and wait
-        getHandle.registerTimer(
-          math.max(due, timerValues.getCurrentWatermarkInMs() + 1))
+        // stale timer from a superseded registration (defensive — the
+        // keyed delete above should leave at most one): re-arm and wait
+        val newDue = math.max(due, timerValues.getCurrentWatermarkInMs() + 1)
+        getHandle.registerTimer(newDue)
+        state.update(st.copy(timerTs = newDue))
         Iterator.empty
       }
     }

@@ -70,4 +70,28 @@ class LshBoundSpec extends SparkSpec {
     // rewrite threshold, exercising the plain-window fallback path too)
     assert(pairSet(DedupOps.MaxBucket) == pairSet(1 << 20))
   }
+
+  test("at the driver gate's scale (sf0.01) every real bucket sits below the cap") {
+    // the driver compares against UNCAPPED DuckDB oracles at sf0.01, so
+    // the cap must provably not fire there (round-3 advice: the no-op
+    // equivalence above pins only sf0.001)
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val maxText = DedupOps.minhashSignatures(docs)
+      .groupBy("seed", "mh").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head().getLong(0)
+    val bucketArr = org.apache.spark.sql.functions.array((0 until 4).map(bd =>
+      graft.functions.VectorFunctions.lshBucket(col("embedding"), 64, 8,
+        firstBit = bd * 8)): _*)
+    val maxEmb = emb.select(org.apache.spark.sql.functions
+        .posexplode(bucketArr).as(Seq("band", "bucket")))
+      .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head().getLong(0)
+    info(s"sf0.01 max bucket sizes: text=$maxText, embedding=$maxEmb, cap=${DedupOps.MaxBucket}")
+    assert(maxText <= DedupOps.MaxBucket,
+      s"text minhash bucket $maxText exceeds cap at gate scale")
+    assert(maxEmb <= DedupOps.MaxBucket,
+      s"embedding LSH bucket $maxEmb exceeds cap at gate scale")
+  }
 }

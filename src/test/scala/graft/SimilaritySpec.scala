@@ -84,4 +84,42 @@ class SimilaritySpec extends SparkSpec {
     assert(res.nonEmpty)
     assert(res.forall(_.getInt(3) <= 5))
   }
+
+  test("banded ANN: no cross-band duplicates, recall >= single table, broadcast-hash plan") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val banded = SimilarityOps.lshTopKBanded(emb, queries,
+      dim = 64, k = 5, bands = 4, bitsPerBand = 4)
+    val rows = banded.collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == pairs.toSet.size,
+      "a pair colliding in several bands must be ranked once")
+    // recall against the exact top-k — banding ORs 4 independent tables,
+    // so it can only widen the candidate union vs the single 4-bit table
+    def topkSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topkSet(SimilarityOps.bruteForceTopK(emb, queries, 5))
+    val single = topkSet(SimilarityOps.lshTopK(emb, queries, 64, 5, nBits = 4))
+    val multi = topkSet(banded)
+    def recall(s: Set[(Long, Long)]) = s.intersect(exact).size.toDouble / exact.size
+    info(f"ANN recall vs exact top-5: single-table ${recall(single)}%.3f, banded ${recall(multi)}%.3f")
+    assert(recall(multi) >= recall(single),
+      "banded ANN must not lose recall vs its own single table")
+    assert(recall(multi) >= 0.3, s"banded recall too low: ${recall(multi)}")
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("banded ANN finds a planted near-identical twin at rank 1") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val twins = queries.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.0001f)).as("embedding"))
+    val spiked = emb.select("vec_id", "embedding").union(twins)
+    val hits = SimilarityOps.lshTopKBanded(spiked, queries,
+        dim = 64, k = 5, bands = 4, bitsPerBand = 4)
+      .filter(col("cand_id") === col("query_id") + 1000000L && col("rk") === 1)
+      .count()
+    assert(hits == 10, s"every query's twin must rank first, got $hits/10")
+  }
 }
