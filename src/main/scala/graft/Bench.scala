@@ -60,7 +60,8 @@ object Bench {
     *   count would hand the low level a different (cheaper) plan and
     *   overstate its throughput. */
   private def session(cpus: Int, localDir: String,
-      shufflePartitions: Int, executorProcs: Boolean = false): SparkSession = {
+      shufflePartitions: Int, executorProcs: Boolean = false,
+      streaming: Boolean = false): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     // executorProcs = the faithful "N executors" form: local-cluster mode
@@ -80,12 +81,51 @@ object Bench {
       b0.config("spark.executor.extraClassPath",
           System.getProperty("java.class.path"))
         .config("spark.executor.memory", s"${execMem}m")
+        // Do not let the first micro-batch race executor registration: if
+        // batch 0 schedules while only 1-2 executors are up, every state
+        // partition loads THERE and state-store locality pins all later
+        // stateful tasks to those executors — measured on this box as 2 of
+        // 8 executors doing 5x the tasks while 6 idle (c8 ~59k turns/s vs
+        // c2 ~290k). A real spark-submit job does the same thing with
+        // these two settings.
+        .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
+        .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "60s")
+        // The first trigger's scan is a handful of map tasks (few files x
+        // maxPartitionBytes), so its shuffle output is concentrated on 1-2
+        // executors; reduce-side shuffle locality then prefers exactly
+        // those executors for the 32 state partitions, and state-store
+        // locality pins them there for the rest of the stream. Disabling
+        // shuffle reduce locality lets batch 0 spread the state evenly;
+        // the state-store coordinator's own locality (the one that
+        // matters) still applies from batch 1 on. Standard practice for
+        // stateful streaming jobs on real clusters.
+        .config("spark.shuffle.reduceLocality.enabled", "false")
+        // Each executor JVM sees the HOST's 32 CPUs and sizes its G1/JIT
+        // thread pools for all of them (~23 GC threads per executor); 8
+        // such JVMs GC-storming one box made every task cost ~20x the
+        // core-seconds of the 2-executor leg. A real cluster's cgroup CPU
+        // limit gives the JVM the executor's core count — replicate that.
+        .config("spark.executor.extraJavaOptions",
+          "-XX:ActiveProcessorCount=4")
         // the executor launcher resolves the Scala dir from this env var
         // (the spark-submit shell scripts export it; a bare JVM must pass
         // it through the executor command environment instead)
         .config("spark.executorEnv.SPARK_SCALA_VERSION", "2.13")
     else b0
-    val s = b
+    // Streaming-job scan sizing, FIXED across scaling levels: the
+    // time-sliced input files are ~15 MB each, so the default 128 MB
+    // maxPartitionBytes packs a 16-file trigger's scan into ~3 map tasks —
+    // the scan+shuffle-write phase of every bulk trigger then runs at
+    // parallelism 3 regardless of core count, idling 5 of 8 cores at the
+    // high level and reading as false scaling loss. 16 MB ≈ one task per
+    // input file. (A production job sizes this to its file layout the
+    // same way; leaving it default underschedules ANY level above ~3
+    // cores.)
+    val b1 = if (streaming)
+      b.config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+    else b
+    val s = b1
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -116,16 +156,26 @@ object Bench {
 
   /** ONE full streaming run over the pre-generated input at `cpus` cores,
     * in a fresh session (torn down after). The scaling leg calls this in
-    * interleaved (lo, hi, lo, hi, ...) pass pairs — see main. */
-  private def streamOnePass(inDir: String, workBase: String, cpus: Int,
-      tag: String): (ProgressMetrics.Summary, Double) = {
+    * interleaved (lo, hi, lo, hi, ...) pass pairs — see main.
+    *
+    * Before the timed stream, the SAME pipeline runs once over a small
+    * warmup input (`warmDir`): in executor-process mode every pass spawns
+    * fresh executor JVMs, and without this the measured stream (a few
+    * dozen seconds) is dominated by per-executor JIT warmup — the
+    * north-rule job runs for hours on long-lived executors, so measuring
+    * cold interpreters would understate BOTH levels and charge the high
+    * level 4x the cold-start. Thread mode shares the already-warm bench
+    * JVM, so its warmup pass is cheap and harmless. */
+  private def streamOnePass(inDir: String, warmDir: String, workBase: String,
+      cpus: Int, tag: String): (ProgressMetrics.Summary, Double) = {
     // fixed job partitioning across levels (see session); 32 = the
     // repo-wide production default, overridable for experiments
     val parts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "32").toInt
     // SPARK_GRAFT_EXECUTORS=1 runs each level as N separate executor JVMs
     // (local-cluster) instead of N threads — see session
     val procs = sys.env.get("SPARK_GRAFT_EXECUTORS").contains("1")
-    val spark = session(cpus, s"$workBase/spark_local_${tag}_c$cpus", parts, procs)
+    val spark = session(cpus, s"$workBase/spark_local_${tag}_c$cpus", parts, procs,
+      streaming = true)
     try {
       import spark.implicits._
       implicit val enc = implicitly[org.apache.spark.sql.Encoder[graft.model.LabeledTurn]]
@@ -133,6 +183,29 @@ object Bench {
       // SPARK_GRAFT_RUNNER=tws benches the transformWithState runtime
       // (requires SPARK_GRAFT_STATE=rocksdb); default flatMapGroupsWithState
       val useTws = sys.env.get("SPARK_GRAFT_RUNNER").contains("tws")
+
+      // warmup pass (untimed): same source->watermark->automaton->sink
+      // pipeline over the small warmup input, so scan/shuffle/state/kryo/
+      // sink code paths are JIT-compiled on every executor before the clock
+      // starts (fresh JVMs per pass in executor-process mode)
+      {
+        val wSink = new graft.sink.ExactlyOnceParquetSink(s"$workBase/warm_out_${tag}_c$cpus")
+        val wStream = FlowSource.stream(spark, warmDir, maxFiles)
+        val w =
+          (if (useTws) AutomatonRunner.runStreamingTws(wStream,
+            Handlers.ChangeDetector, watermarkDelay = "90 minutes")
+          else AutomatonRunner.runStreaming(wStream,
+            Handlers.ChangeDetector, watermarkDelay = "90 minutes"))
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$workBase/warm_ck_${tag}_c$cpus")
+          .foreachBatch((df: org.apache.spark.sql.Dataset[graft.model.LabeledTurn],
+                         epochId: Long) => wSink.addBatch(df.toDF(), epochId))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        w.awaitTermination()
+      }
+
       val sink = new graft.sink.ExactlyOnceParquetSink(s"$workBase/out_${tag}_c$cpus")
       val stream = FlowSource.stream(spark, inDir, maxFiles)
       val result =
@@ -197,6 +270,21 @@ object Bench {
     // sinkAcc read defeats dead-code elimination of the summing loop
     if (sinkAcc.get() == Long.MinValue) System.err.println("improbable")
     bytes.get() / sec / 1e9
+  }
+
+  /** Single-thread CPU spin probe (ms for a fixed ALU loop): run right
+    * after each scaling leg, it stamps that LEG with the host's state —
+    * this VM's hypervisor steal storms last minutes, so a pre/post check
+    * around the whole run can miss a storm that ate exactly one level.
+    * Quiet-host reference on this box: ~2.2-2.6 s. */
+  private def spinProbeMs(): Double = {
+    var x = 1L
+    val t0 = System.nanoTime()
+    var i = 0L
+    while (i < 2_000_000_000L) { x = x * 25214903917L + 11L; i += 1 }
+    val ms = (System.nanoTime() - t0) / 1e6
+    if (x == 42L) System.err.println("improbable")
+    ms
   }
 
   /** Locale-stable JSON number (f"..%.3f" uses the JVM default locale —
@@ -387,6 +475,18 @@ object Bench {
       TranscriptQueries.appendSentinel(spark0, inDir)
       ds.count()
     }
+    // warmup input for the per-pass JIT warmup stream (see streamOnePass) —
+    // ~10% of the measured stream (each executor at the high level must
+    // individually see enough rows to cross the C2 JIT thresholds; at 2%
+    // the 8-executor leg still ran ~3x the CPU of the warm 2-executor leg)
+    val warmDir = s"$work/warm_transcripts"
+    locally {
+      val wds = TranscriptGen.dataset(spark0,
+        TranscriptGen.Config(nConvs = math.max(nConvs / 10, 2000L), seed = 7L,
+          meanLen = 100, maxLen = 400))
+      TranscriptTable.writeTimeSliced(wds, warmDir, sliceMinutes = 60, filesPerSlice = 4)
+      TranscriptQueries.appendSentinel(spark0, warmDir)
+    }
     spark0.stop()
 
     // N-vs-4N stand-in pair. Default 2,8: at 32 threads this single VM's
@@ -435,13 +535,24 @@ object Bench {
         // host per-thread-resource evidence, inline (judge-accepted
         // alternative to a bar the box cannot honestly clear): per-thread
         // DRAM bandwidth at both thread counts, Spark-free.
+        spinProbeMs() // JIT-warm the probe loop
         val bwLo = memBandwidthGBs(levels.head)
         val bwHi = memBandwidthGBs(levels.last)
         val bwEff = (bwHi / levels.last) / (bwLo / levels.head)
 
+        // every leg is stamped with a post-leg CPU spin probe: a steal
+        // storm that eats exactly one level (minutes-long on this VM, so
+        // invisible to run-level pre/post checks) shows up as that leg's
+        // worst-probe being far above the ~600 ms quiet reference
+        val legProbes =
+          scala.collection.mutable.Map[Int, List[Double]]().withDefault(_ => Nil)
         // passes(p)(l) = (summary, wall) for pass p at level l
         def runPair(tag: String): Map[Int, (ProgressMetrics.Summary, Double)] =
-          levels.map(l => l -> streamOnePass(inDir, work, l, tag)).toMap
+          levels.map { l =>
+            val r = streamOnePass(inDir, warmDir, work, l, tag)
+            legProbes(l) = spinProbeMs() :: legProbes(l)
+            l -> r
+          }.toMap
         val passes: Seq[Map[Int, (ProgressMetrics.Summary, Double)]] =
           (1 to nPasses).map { p =>
             var attempt = 0
@@ -497,7 +608,9 @@ object Bench {
           "host_membw_gbs_lo" -> bwLo, "host_membw_gbs_hi" -> bwHi,
           "host_membw_thread_eff" -> bwEff,
           "quiet_min_lo" -> quietMin, "quiet_ok" -> quietOk,
-          "pair_retries_used" -> retriesUsed.toDouble) ++ perLevel ++ scaling
+          "pair_retries_used" -> retriesUsed.toDouble) ++
+          legProbes.map { case (l, ps) =>
+            s"host_spin_worst_ms_c$l" -> ps.max } ++ perLevel ++ scaling
       }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }

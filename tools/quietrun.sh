@@ -1,0 +1,39 @@
+#!/bin/bash
+# Run a command only while the host is quiet (this VM shows 10-30 min
+# hypervisor-steal storms that wreck benchmark numbers — CLAUDE.md inv. 6).
+# Usage: quietrun.sh <max_wait_sec> <cmd...>
+#  - probes single-core spin time before starting; waits until it is within
+#    ~12% of the quiet-host reference (3.0s for this loop on this box);
+#  - re-probes after the run and exits 42 if the host got loaded mid-run
+#    (callers should discard the measurement and retry).
+set -u
+MAXWAIT=$1; shift
+probe_ms() {
+  local t0=$(date +%s%N)
+  python3 -c "
+n=0
+for i in range(30000000): n+=i" >/dev/null 2>&1
+  local t1=$(date +%s%N)
+  echo $(( (t1-t0)/1000000 ))
+}
+QUIET_MS=${QUIET_MS:-3350}
+waited=0
+while :; do
+  p=$(probe_ms)
+  if [ "$p" -le "$QUIET_MS" ]; then break; fi
+  echo "[quietrun] host loaded (probe ${p}ms > ${QUIET_MS}ms), waiting..." >&2
+  sleep 60; waited=$((waited+63))
+  if [ "$waited" -ge "$MAXWAIT" ]; then
+    echo "[quietrun] gave up waiting after ${waited}s" >&2; exit 41
+  fi
+done
+echo "[quietrun] host quiet (probe ${p}ms), starting" >&2
+"$@"
+rc=$?
+post=$(probe_ms)
+if [ "$post" -gt "$QUIET_MS" ]; then
+  echo "[quietrun] POST-RUN probe ${post}ms > ${QUIET_MS}ms — host got loaded mid-run, measurement suspect" >&2
+  exit 42
+fi
+echo "[quietrun] post-run probe ${post}ms — clean" >&2
+exit $rc
