@@ -159,6 +159,18 @@ object TranscriptQueries {
         .select(col("win")("start").as("win_start"), col("conv_id"),
           col("n_turns"), col("n_tool"), col("first_idx"), col("last_idx")))
 
+  /** Sliding windows as a REAL streaming query — same recipe as t56;
+    * overlapping windows emit in append mode as the watermark passes each
+    * window's end. Oracle: identical SQL to t57 (the batch dual). */
+  def slidingStream(spark: SparkSession): DataFrame =
+    runTranscriptStream(spark, "t58", ds =>
+      Windows.sliding(
+        ds.withWatermark("ts", "90 minutes")
+          .filter(_.conv_id != AutomatonRunner.SentinelConvId),
+        "10 minutes", "5 minutes")
+        .select(col("win")("start").as("win_start"), col("conv_id"),
+          col("n_turns")))
+
   /** onComplete emission under STREAMING (round-2 stretch ask): the
     * Summarizer automaton emits exactly one row per conversation when the
     * key is evicted (watermark past last activity + idle gap — here the
@@ -251,6 +263,16 @@ object TranscriptQueries {
        |FROM u JOIN tl ON u.conv_id = tl.conv_id
        |  AND tl.ts >= u.ts AND tl.ts <= u.ts + INTERVAL '300 seconds'""".stripMargin
 
+  /** per-conversation overlapping-bucket counts — shared by the batch
+    * (t57) and streaming (t58) sliding-window forms. Each turn lands in
+    * width/slide = 2 windows; the oracle replays that with an explicit
+    * offset cross join (same shape as q21's oracle). */
+  private val slidingSql: String =
+    s"""SELECT make_timestamp(CAST(floor((epoch(ts) - off) / 600) * 600 + off AS BIGINT) * 1000000) AS win_start,
+       |  conv_id, count(*) AS n_turns
+       |FROM $T CROSS JOIN (VALUES (0), (300)) offs(off)
+       |GROUP BY 1, 2""".stripMargin
+
   /** per-conversation fixed-bucket counts — shared by the batch (t42) and
     * streaming (t56) tumbling-window forms. */
   private val tumblingSql: String =
@@ -280,6 +302,14 @@ object TranscriptQueries {
     // the REAL streaming form of t42: a tumbling-window StreamingQuery
     // through the exactly-once sink must commit the identical row set
     Q("t56_conv_tumbling_stream", (s, _) => tumblingStream(s), Some(tumblingSql)),
+    Q("t57_conv_sliding",
+      (s, _) => Windows.sliding(transcripts(s), "10 minutes", "5 minutes")
+        .select(col("win")("start").as("win_start"), col("conv_id"),
+          col("n_turns")),
+      Some(slidingSql)),
+    // the REAL streaming form of t57: overlapping windows through the
+    // exactly-once sink — the last window kind without a streaming gate
+    Q("t58_conv_sliding_stream", (s, _) => slidingStream(s), Some(slidingSql)),
     Q("t43_conv_sessions",
       (s, _) => Windows.session(transcripts(s), "30 minutes")
         .select(col("win")("start").as("session_start"),
