@@ -543,31 +543,38 @@ object Bench {
         // every leg is stamped with a post-leg CPU spin probe: a steal
         // storm that eats exactly one level (minutes-long on this VM, so
         // invisible to run-level pre/post checks) shows up as that leg's
-        // worst-probe being far above the ~600 ms quiet reference
+        // worst-probe being far above the ~2.2-2.6 s quiet reference
         val legProbes =
           scala.collection.mutable.Map[Int, List[Double]]().withDefault(_ => Nil)
-        // passes(p)(l) = (summary, wall) for pass p at level l
-        def runPair(tag: String): Map[Int, (ProgressMetrics.Summary, Double)] =
-          levels.map { l =>
+        // runPair = one interleaved (lo, hi) pass, each leg probe-stamped
+        def runPair(tag: String): (Map[Int, (ProgressMetrics.Summary, Double)], Map[Int, Double]) = {
+          val rs = levels.map { l =>
             val r = streamOnePass(inDir, warmDir, work, l, tag)
-            legProbes(l) = spinProbeMs() :: legProbes(l)
-            l -> r
-          }.toMap
-        val passes: Seq[Map[Int, (ProgressMetrics.Summary, Double)]] =
+            val p = spinProbeMs()
+            legProbes(l) = p :: legProbes(l)
+            (l, r, p)
+          }
+          (rs.map(t => t._1 -> t._2).toMap, rs.map(t => t._1 -> t._3).toMap)
+        }
+        // passes(p)(l) = (summary, wall) for pass p at level l;
+        // passProbes(p)(l) = that pair's post-leg probe (final attempt)
+        val passResults: Seq[(Map[Int, (ProgressMetrics.Summary, Double)], Map[Int, Double])] =
           (1 to nPasses).map { p =>
             var attempt = 0
             var pair = runPair(s"p${p}a$attempt")
             while (quietMin > 0 &&
-                pair(levels.head)._1.steadyTurnsPerSec < quietMin &&
+                pair._1(levels.head)._1.steadyTurnsPerSec < quietMin &&
                 retriesUsed < pairRetries) {
               retriesUsed += 1; attempt += 1
               System.err.println(
-                f"[bench] pass $p: lo-level steady ${pair(levels.head)._1.steadyTurnsPerSec}%.0f " +
+                f"[bench] pass $p: lo-level steady ${pair._1(levels.head)._1.steadyTurnsPerSec}%.0f " +
                 f"below quiet-host band ($quietMin%.0f) — host load suspected, retrying pair")
               pair = runPair(s"p${p}a$attempt")
             }
             pair
           }
+        val passes = passResults.map(_._1)
+        val passProbes = passResults.map(_._2)
         val quietOk =
           if (quietMin <= 0) 1.0
           else if (passes.forall(_(levels.head)._1.steadyTurnsPerSec >= quietMin)) 1.0
@@ -596,13 +603,24 @@ object Bench {
             val factor = l2.toDouble / l1
             def effs(f: ProgressMetrics.Summary => Double): Seq[Double] =
               passes.map(p => (f(p(l2)._1) / f(p(l1)._1)) / factor)
+            // the pass pair measured on the quietest host (smallest worst
+            // leg probe): on a steal-prone VM the median over pairs blends
+            // storm-degraded pairs with clean ones, so the artifact also
+            // records the efficiency of the one pair whose OWN probes were
+            // cleanest, together with that probe value — a reader can see
+            // both the robust blend and the cleanest-evidence measurement
+            val cleanIdx = passProbes.indices.minBy(i => passProbes(i).values.max)
+            val cleanEff = (passes(cleanIdx)(l2)._1.steadyTurnsPerSec /
+              passes(cleanIdx)(l1)._1.steadyTurnsPerSec) / factor
             Map(
               "scaling_factor" -> factor,
               "scaling_levels_lo" -> l1.toDouble,
               "scaling_levels_hi" -> l2.toDouble,
               "scaling_pairs" -> nPasses.toDouble,
               "scaling_efficiency" -> median(effs(_.turnsPerSec)),
-              "scaling_efficiency_steady" -> median(effs(_.steadyTurnsPerSec)))
+              "scaling_efficiency_steady" -> median(effs(_.steadyTurnsPerSec)),
+              "scaling_eff_steady_cleanest_pair" -> cleanEff,
+              "cleanest_pair_spin_ms" -> passProbes(cleanIdx).values.max)
           } else Map.empty[String, Double]
         Map("input_turns" -> nTurns.toDouble,
           "host_membw_gbs_lo" -> bwLo, "host_membw_gbs_hi" -> bwHi,
