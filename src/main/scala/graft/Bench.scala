@@ -352,12 +352,18 @@ object Bench {
           pairs("q36b_embed_neardup_lsh", "vec_a", "vec_b"))
         val cand = graft.operators.SimilarityOps.cosineCandidatesBucketed(
           spark0.read.parquet(s"$sfDir/embeddings.parquet")).count().toDouble
-        val (tkE, tkA, tkR) = rec(pairs("q35_ann_bruteforce", "query_id", "cand_id"),
+        // ONE materialization of the exact ANN reference, reused by both
+        // the single-table and banded comparisons (each rec() needs its
+        // count and an intersect — recomputing the O(corpus x queries)
+        // cosine scan per comparison would double the reference work)
+        val q35pairs = pairs("q35_ann_bruteforce", "query_id", "cand_id").cache()
+        val (tkE, tkA, tkR) = rec(q35pairs,
           pairs("q37_ann_lsh", "query_id", "cand_id"))
         // the banded ANN (q37b) vs the same exact reference — the number
         // backing "banding recovers the recall a single table cannot"
-        val (_, tbA, tbR) = rec(pairs("q35_ann_bruteforce", "query_id", "cand_id"),
+        val (_, tbA, tbR) = rec(q35pairs,
           pairs("q37b_ann_lsh_banded", "query_id", "cand_id"))
+        q35pairs.unpersist()
 
         // Planted-twin recall: the synthetic embeddings hold NO true
         // near-dups (max pairwise cosine ~0.6 at every sf), so the
@@ -526,9 +532,16 @@ object Bench {
           !sys.env.contains("SPARK_GRAFT_STREAM_CONVS") &&
           !sys.env.contains("SPARK_GRAFT_STREAM_PARTS") &&
           !sys.env.contains("SPARK_GRAFT_MAX_FILES") &&
-          levels == Seq(2, 8) && sfDir.endsWith("0.1")
+          levels == Seq(2, 8) && sfDir.stripSuffix("/").endsWith("0.1")
         val quietMin = sys.env.get("SPARK_GRAFT_QUIET_MIN_LO").map(_.toDouble)
           .getOrElse(if (defaultCfg) 400000.0 else 0.0)
+        if (quietMin <= 0)
+          System.err.println("[bench] quiet-host throughput band DISABLED " +
+            "(non-default config and no SPARK_GRAFT_QUIET_MIN_LO)")
+        // the spin-probe retry bar applies in EVERY config (the probe is
+        // job-independent): a pair whose post-leg probe exceeds this ran
+        // on a degraded host. Quiet reference 2.2-2.6 s on this box.
+        val spinMax = sys.env.getOrElse("SPARK_GRAFT_SPIN_MAX_MS", "3600").toDouble
         val pairRetries = sys.env.getOrElse("SPARK_GRAFT_PAIR_RETRIES", "2").toInt
         var retriesUsed = 0
 
@@ -543,41 +556,50 @@ object Bench {
         // every leg is stamped with a post-leg CPU spin probe: a steal
         // storm that eats exactly one level (minutes-long on this VM, so
         // invisible to run-level pre/post checks) shows up as that leg's
-        // worst-probe being far above the ~2.2-2.6 s quiet reference
-        val legProbes =
-          scala.collection.mutable.Map[Int, List[Double]]().withDefault(_ => Nil)
+        // probe being far above the ~2.2-2.6 s quiet reference — and the
+        // retry decision consults the probes of BOTH legs, so a storm
+        // that hits only the hi leg cannot silently sink the artifact
+        // (the lo-throughput band alone could not see that case).
         // runPair = one interleaved (lo, hi) pass, each leg probe-stamped
         def runPair(tag: String): (Map[Int, (ProgressMetrics.Summary, Double)], Map[Int, Double]) = {
           val rs = levels.map { l =>
             val r = streamOnePass(inDir, warmDir, work, l, tag)
-            val p = spinProbeMs()
-            legProbes(l) = p :: legProbes(l)
-            (l, r, p)
+            (l, r, spinProbeMs())
           }
           (rs.map(t => t._1 -> t._2).toMap, rs.map(t => t._1 -> t._3).toMap)
         }
         // passes(p)(l) = (summary, wall) for pass p at level l;
-        // passProbes(p)(l) = that pair's post-leg probe (final attempt)
+        // passProbes(p)(l) = that pair's post-leg probe — FINAL (recorded)
+        // attempt only, so the reported probes describe the measurements
+        // the artifact actually contains, not discarded storm attempts
         val passResults: Seq[(Map[Int, (ProgressMetrics.Summary, Double)], Map[Int, Double])] =
           (1 to nPasses).map { p =>
             var attempt = 0
             var pair = runPair(s"p${p}a$attempt")
-            while (quietMin > 0 &&
-                pair._1(levels.head)._1.steadyTurnsPerSec < quietMin &&
-                retriesUsed < pairRetries) {
+            def loaded: Option[String] = {
+              val loSteady = pair._1(levels.head)._1.steadyTurnsPerSec
+              val worstProbe = pair._2.values.max
+              if (quietMin > 0 && loSteady < quietMin)
+                Some(f"lo-level steady $loSteady%.0f below quiet band ($quietMin%.0f)")
+              else if (worstProbe > spinMax)
+                Some(f"post-leg spin probe $worstProbe%.0f ms above $spinMax%.0f ms")
+              else None
+            }
+            while (loaded.isDefined && retriesUsed < pairRetries) {
               retriesUsed += 1; attempt += 1
               System.err.println(
-                f"[bench] pass $p: lo-level steady ${pair._1(levels.head)._1.steadyTurnsPerSec}%.0f " +
-                f"below quiet-host band ($quietMin%.0f) — host load suspected, retrying pair")
+                s"[bench] pass $p: ${loaded.get} — host load suspected, retrying pair")
               pair = runPair(s"p${p}a$attempt")
             }
             pair
           }
         val passes = passResults.map(_._1)
         val passProbes = passResults.map(_._2)
+        // quiet_ok certifies the RECORDED pairs: lo-throughput band (when
+        // enabled) AND both legs' spin probes within the quiet bar
         val quietOk =
-          if (quietMin <= 0) 1.0
-          else if (passes.forall(_(levels.head)._1.steadyTurnsPerSec >= quietMin)) 1.0
+          if (passes.forall(_(levels.head)._1.steadyTurnsPerSec >= quietMin) &&
+              passProbes.forall(_.values.max <= spinMax)) 1.0
           else 0.0
         levels.foreach { l =>
           val rows = passes.map(_(l)._1.outputRows).distinct
@@ -626,9 +648,13 @@ object Bench {
           "host_membw_gbs_lo" -> bwLo, "host_membw_gbs_hi" -> bwHi,
           "host_membw_thread_eff" -> bwEff,
           "quiet_min_lo" -> quietMin, "quiet_ok" -> quietOk,
+          "spin_max_ms" -> spinMax,
           "pair_retries_used" -> retriesUsed.toDouble) ++
-          legProbes.map { case (l, ps) =>
-            s"host_spin_worst_ms_c$l" -> ps.max } ++ perLevel ++ scaling
+          // probes of the RECORDED (final-attempt) pairs only — discarded
+          // storm attempts must not cast doubt on the clean measurements
+          levels.map { l =>
+            s"host_spin_worst_ms_c$l" -> passProbes.map(_(l)).max } ++
+          perLevel ++ scaling
       }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }

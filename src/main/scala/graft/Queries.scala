@@ -803,7 +803,7 @@ object Queries {
         .select(col("doc_id"), posexplode(col("feature")).as(Seq("dim_idx", "f")))
         .select(col("doc_id"), col("dim_idx"), col("f").cast("double").as("f")),
       Some(s"""SELECT doc_id, CAST(j AS INT) AS dim_idx,
-              |  (${h16Sql("text || ':' || CAST(j AS VARCHAR)")}) / 65536.0 - 0.5 AS f
+              |  (${h16Sql("md5(text) || ':' || CAST(j AS VARCHAR)")}) / 65536.0 - 0.5 AS f
               |FROM documents CROSS JOIN (SELECT unnest(range(0, 8)) AS j)""".stripMargin))
   )
 

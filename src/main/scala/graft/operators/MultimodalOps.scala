@@ -73,22 +73,25 @@ object MultimodalOps {
     * columnar output — so swapping in real inference changes only the
     * body of the row mapper.
     *
-    * Feature j = h16(md5(payload ++ ":j")) / 65536 - 1/2, a dyadic
-    * rational in [-0.5, 0.5) exactly representable in float32 — the same
-    * engine-replayable-randomness derivation as TextFunctions.tokenHash16
-    * (CLAUDE.md invariant 10), so the q38d oracle regenerates every value
-    * bit-exactly in ANSI SQL. */
+    * The payload is hashed ONCE (one linear pass regardless of dim);
+    * feature j = h16(md5(hex(md5(payload)) ++ ":j")) / 65536 - 1/2, a
+    * dyadic rational in [-0.5, 0.5) exactly representable in float32 —
+    * the same engine-replayable-randomness derivation as
+    * TextFunctions.tokenHash16 (CLAUDE.md invariant 10), so the q38d
+    * oracle regenerates every value bit-exactly in ANSI SQL
+    * (DuckDB's md5() is the same lowercase-hex digest). */
   def extractFeatures(docsWithPayload: DataFrame, dim: Int = 8): Dataset[Feature] = {
     implicit val enc = Encoders.product[Feature]
     docsWithPayload.select("doc_id", "payload").mapPartitions { it =>
       // per-partition "model init" (real impl: OnnxSession.open(...))
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
-        val p = r.getAs[Array[Byte]](1)
+        md.reset()
+        val hex = md.digest(r.getAs[Array[Byte]](1))
+          .map(b => f"$b%02x").mkString
         Feature(r.getLong(0), (0 until dim).map { j =>
           md.reset()
-          md.update(p)
-          val h = md.digest(s":$j".getBytes("UTF-8"))
+          val h = md.digest(s"$hex:$j".getBytes("UTF-8"))
           val h16 = ((h(0) & 0xff) << 8) | (h(1) & 0xff)
           h16 / 65536.0f - 0.5f
         })

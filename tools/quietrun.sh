@@ -10,9 +10,12 @@ set -u
 MAXWAIT=$1; shift
 probe_ms() {
   local t0=$(date +%s%N)
-  python3 -c "
+  if ! python3 -c "
 n=0
-for i in range(30000000): n+=i" >/dev/null 2>&1
+for i in range(30000000): n+=i" >/dev/null 2>&1; then
+    # a broken probe must fail CLOSED (report "loaded"), not open the gate
+    echo 999999; return
+  fi
   local t1=$(date +%s%N)
   echo $(( (t1-t0)/1000000 ))
 }
