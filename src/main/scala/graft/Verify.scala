@@ -49,7 +49,14 @@ object Verify {
     ntzNormalized(TranscriptQueries.transcripts(spark).toDF())
       .coalesce(1).write.mode("overwrite").parquet(transcriptsPath)
 
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_VERIFY_ONLY=q1,q2 restricts the dump (and the oracle
+    // json) to named queries — a fast iteration loop for one entry; the
+    // driver never sets it, so the gate always runs the full set
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def selected(name: String) = only.forall(_.contains(name))
+
+    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try ntzNormalized(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -109,7 +116,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val transcriptsRef = s"read_parquet('$transcriptsPath/*.parquet')"
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) =>
         s"${q(k)}: ${q(v.replace(TranscriptsToken, transcriptsRef))}"
       }.mkString("{", ",", "}")

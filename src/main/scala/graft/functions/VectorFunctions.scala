@@ -58,13 +58,31 @@ object VectorFunctions {
     * embeds the expression. A compact HOF over one literal per plane
     * keeps the tree small; the fold itself is O(dim) per plane per row. */
   def lshBucket(v: Column, dim: Int, nBits: Int = 8, firstBit: Int = 0): Column = {
-    def proj(bit: Int): Column = {
-      val w = lit((0 until dim).map(d => planeWeight(bit, d)).toArray)
-      aggregate(zip_with(v, w, (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, t) => acc + t)
-    }
     (0 until nBits).map(j =>
-      when(proj(firstBit + j) >= 0, 1L << j).otherwise(0L))
+      when(proj(v, dim, firstBit + j) >= 0, 1L << j).otherwise(0L))
       .reduce(_ + _)
+  }
+
+  private def proj(v: Column, dim: Int, bit: Int): Column = {
+    val w = lit((0 until dim).map(d => planeWeight(bit, d)).toArray)
+    aggregate(zip_with(v, w, (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, t) => acc + t)
+  }
+
+  /** Multi-probe helper: the single-bit mask (1L << j) of the bucket's
+    * LEAST-CONFIDENT bit — the hyperplane whose projection magnitude is
+    * smallest, i.e. the sign most likely to differ on a true near
+    * neighbor. Query-time multi-probe ANN probes `bucket` and
+    * `bucket ^ mask` per band: ≤2× the candidate volume for most of the
+    * recall a full Hamming-1 expansion (nBits+1 probes) would buy.
+    * Ties break to the LOWEST bit index via a `<=` chain; projections are
+    * the same dyadic-rational left folds as `lshBucket`, so an ANSI-SQL
+    * oracle replays the argmin decision bit-exactly. */
+  def lshWeakBitMask(v: Column, dim: Int, nBits: Int, firstBit: Int = 0): Column = {
+    val abses = (0 until nBits).map(j => abs(proj(v, dim, firstBit + j)))
+    (0 until nBits - 1).foldRight(lit(1L << (nBits - 1))) { (j, rest) =>
+      when((j + 1 until nBits).map(k => abses(j) <= abses(k)).reduce(_ && _),
+        lit(1L << j)).otherwise(rest)
+    }
   }
 }

@@ -82,7 +82,12 @@ object MultimodalOps {
     * (DuckDB's md5() is the same lowercase-hex digest). */
   def extractFeatures(docsWithPayload: DataFrame, dim: Int = 8): Dataset[Feature] = {
     implicit val enc = Encoders.product[Feature]
-    docsWithPayload.select("doc_id", "payload").mapPartitions { it =>
+    // NULL payloads carry no features (same contract as simhash over NULL
+    // text): filter here — not in the caller — so the operator can never
+    // NPE on md.digest(null), and the q38d oracle mirrors the filter
+    docsWithPayload.select("doc_id", "payload")
+      .filter(org.apache.spark.sql.functions.col("payload").isNotNull)
+      .mapPartitions { it =>
       // per-partition "model init" (real impl: OnnxSession.open(...))
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>

@@ -111,6 +111,39 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("multi-probe ANN: candidates a bounded superset of banded, recall never lower") {
+    val queries = emb.filter(col("vec_id") < 10)
+    def candSet(multiProbe: Boolean) =
+      SimilarityOps.lshBandedCandidates(emb, queries, dim = 64,
+          multiProbe = multiProbe)
+        .select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = candSet(multiProbe = false)
+    val multi = candSet(multiProbe = true)
+    assert(banded.subsetOf(multi),
+      "every exact-bucket candidate must survive multi-probe")
+    assert(multi.size <= 2 * banded.size + 1,
+      s"weak-bit probing must stay within 2x candidates: ${banded.size} -> ${multi.size}")
+    // and candidates are emitted exactly once (stateless cross-probe dedup)
+    val rows = SimilarityOps.lshBandedCandidates(emb, queries, dim = 64,
+        multiProbe = true)
+      .select("query_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == rows.toSet.size,
+      "a pair matching several probes must be emitted once")
+    def topkSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topkSet(SimilarityOps.bruteForceTopK(emb, queries, 5))
+    def recall(s: Set[(Long, Long)]) = s.intersect(exact).size.toDouble / exact.size
+    val rBanded = recall(topkSet(SimilarityOps.lshTopKBanded(emb, queries, 64, 5)))
+    val rMulti = recall(topkSet(SimilarityOps.lshTopKBanded(emb, queries, 64, 5,
+      multiProbe = true)))
+    info(f"ANN recall vs exact top-5: banded $rBanded%.3f, multi-probe $rMulti%.3f " +
+      f"(candidates ${banded.size} -> ${multi.size})")
+    assert(rMulti >= rBanded,
+      "a candidate superset cannot lose top-k recall")
+  }
+
   test("banded ANN finds a planted near-identical twin at rank 1") {
     val queries = emb.filter(col("vec_id") < 10)
     val twins = queries.select((col("vec_id") + 1000000L).as("vec_id"),

@@ -36,7 +36,12 @@ rc=$?
 post=$(probe_ms)
 if [ "$post" -gt "$QUIET_MS" ]; then
   echo "[quietrun] POST-RUN probe ${post}ms > ${QUIET_MS}ms — host got loaded mid-run, measurement suspect" >&2
-  exit 42
+  # a genuine command failure must win over the retryable host-load signal:
+  # exit 42 only when the command itself succeeded (rc=0), else pass rc
+  # through so callers don't retry a deterministically-failing command
+  if [ "$rc" -eq 0 ]; then exit 42; fi
+  echo "[quietrun] (command itself failed rc=${rc} — propagating that, not 42)" >&2
+  exit $rc
 fi
 echo "[quietrun] post-run probe ${post}ms — clean" >&2
 exit $rc
