@@ -102,6 +102,9 @@ object FlowSink {
     * with an exactly-once parquet sink. Returns the sink for read-back. */
   def runAvailableNow[O](out: Dataset[O], outDir: String,
       checkpointDir: String): ExactlyOnceParquetSink = {
+    // refuse a cross-state-schema resume HERE, with the migration pointer,
+    // instead of deep inside the provider's schema check (StateVersion)
+    graft.state.StateVersion.checkAndStamp(checkpointDir)
     val sink = new ExactlyOnceParquetSink(outDir)
     val q = out.writeStream
       .outputMode("append")

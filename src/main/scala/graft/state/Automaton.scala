@@ -123,43 +123,59 @@ object AutomatonRunner {
     *                  the quiesce semantics of the reference
     *                  (`cluster.py:51-89`) per key instead of per job.
     */
+  /** @param initialState keyed state rows to seed the NEW query's store
+    *   with at batch 0 — the checkpoint-migration path (StateMigration):
+    *   fMGWS invokes the function for EVERY initial-state key in the first
+    *   micro-batch (with an empty data iterator if the key has no input),
+    *   so every migrated key re-registers its idle-gap timeout itself and
+    *   no state can leak even if the key never receives input again. */
   def runStreaming[S, O: Encoder](
       turns: Dataset[Turn],
       a: TurnAutomaton[S, O],
       watermarkDelay: String = "10 minutes",
-      idleGapMs: Long = 30 * 60 * 1000L): Dataset[O] = {
+      idleGapMs: Long = 30 * 60 * 1000L,
+      initialState: Option[Dataset[(String, ConvStateRow)]] = None): Dataset[O] = {
     import turns.sparkSession.implicits._
     implicit val stateEnc: Encoder[ConvStateRow] = Encoders.product[ConvStateRow]
 
-    turns
+    val func = (key: String, newTurns: Iterator[Turn], gs: GroupState[ConvStateRow]) => {
+      val st0 = if (gs.exists) gs.get else EmptyStateRow
+      val (s0, buffered) = decodeState(a, st0)
+
+      if (gs.hasTimedOut) {
+        val out = flushKey(a, st0, s0, buffered)
+        gs.remove()
+        out.iterator
+      } else {
+        val (st1, out) = stepKey(a, st0, s0, buffered, newTurns,
+          gs.getCurrentWatermarkMs())
+        gs.update(st1)
+        // evict when the watermark passes last activity + idle gap
+        // (clamped above the current watermark — Spark rejects a
+        // timeout that is already in the past)
+        if (st1.maxSeenTs != Long.MinValue)
+          gs.setTimeoutTimestamp(
+            math.max(st1.maxSeenTs + idleGapMs, gs.getCurrentWatermarkMs() + 1))
+        out.iterator
+      }
+    }
+
+    val grouped = turns
       .withWatermark("ts", watermarkDelay)
       // end-of-stream sentinel rows only exist to push the watermark past
       // all real data (finite-stream drain, the reference's quiesce); they
       // never reach user state
       .filter(_.conv_id != AutomatonRunner.SentinelConvId)
       .groupByKey(_.conv_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (key: String, newTurns: Iterator[Turn], gs: GroupState[ConvStateRow]) =>
-          val st0 = if (gs.exists) gs.get else EmptyStateRow
-          val (s0, buffered) = decodeState(a, st0)
-
-          if (gs.hasTimedOut) {
-            val out = flushKey(a, st0, s0, buffered)
-            gs.remove()
-            out.iterator
-          } else {
-            val (st1, out) = stepKey(a, st0, s0, buffered, newTurns,
-              gs.getCurrentWatermarkMs())
-            gs.update(st1)
-            // evict when the watermark passes last activity + idle gap
-            // (clamped above the current watermark — Spark rejects a
-            // timeout that is already in the past)
-            if (st1.maxSeenTs != Long.MinValue)
-              gs.setTimeoutTimestamp(
-                math.max(st1.maxSeenTs + idleGapMs, gs.getCurrentWatermarkMs() + 1))
-            out.iterator
-          }
-      }
+    initialState match {
+      case Some(init) =>
+        grouped.flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout,
+          init.groupByKey(_._1).mapValues(_._2))(func)
+      case None =>
+        grouped.flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout)(func)
+    }
   }
 
   /** The per-key micro-batch step, shared verbatim by BOTH streaming

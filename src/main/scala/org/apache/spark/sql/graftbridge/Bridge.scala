@@ -19,6 +19,15 @@ object Bridge {
     ds.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].logicalPlan
   def toAttributes(schema: org.apache.spark.sql.types.StructType): Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema)
+  /** Force-create the driver's StateStoreCoordinator RPC endpoint. It is
+    * normally created lazily by the first StreamingQuery; a BATCH read
+    * through the statestore data source (checkpoint migration) in a fresh
+    * session otherwise dies with RpcEndpointNotFoundException. */
+  def ensureStateStoreCoordinator(spark: SparkSession): Unit = {
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.streamingQueryManager.stateStoreCoordinator
+    ()
+  }
   def registerFunction(spark: SparkSession, name: String,
                        builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
