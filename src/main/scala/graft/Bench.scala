@@ -364,6 +364,10 @@ object Bench {
         // (≤2×) candidate volume — both sides of that trade recorded
         val (_, tcA, tcR) = rec(q35pairs,
           pairs("q37c_ann_lsh_multiprobe", "query_id", "cand_id"))
+        // IVF ANN (q37d): the clustered-pruning path — 4 of 16 inverted
+        // lists probed, so the candidate budget is ~corpus/4 by design
+        val (_, tiA, tiR) = rec(q35pairs,
+          pairs("q37d_ann_ivf", "query_id", "cand_id"))
         q35pairs.unpersist()
         val embAll = spark0.read.parquet(s"$sfDir/embeddings.parquet")
         val annQ10 = embAll.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
@@ -427,6 +431,8 @@ object Bench {
             "candidates" -> candMulti,
             "candidate_ratio_vs_banded" ->
               (if (candBanded == 0) 1.0 else candMulti / candBanded)),
+          "ann_q37d_ivf_vs_q35" -> Map("exact_topk" -> tkE,
+            "ivf_topk" -> tiA, "recall" -> tiR),
           "ann_planted_hit_at_5" -> Map("queries" -> nQ, "hits" -> annHits,
             "hit_rate" -> (if (nQ == 0) 1.0 else annHits / nQ)),
           "ann_banded_planted_hit_at_5" -> Map("queries" -> nQ,

@@ -776,6 +776,42 @@ object Queries {
            |SELECT query_id, cand_id, cos, rk FROM r WHERE rk <= 5""".stripMargin
       }),
 
+    // IVF (inverted-file) ANN — centroid-pruned search, the CLUSTERED
+    // alternative to q37b/q37c's hash pruning. Codebook = the first 16
+    // corpus vectors (deterministic stand-in for an offline k-means
+    // codebook — same shape, same plan downstream); every corpus vector
+    // joins its nearest inverted list by argmax ROUNDED cosine with ties
+    // to the smallest cent_id (the Spark fold's strict > replays the
+    // oracle's ORDER BY ... DESC, cent_id exactly); queries probe their 4
+    // nearest lists. A candidate owns exactly one list membership, so
+    // neither side needs a dedup stage.
+    Q("q37d_ann_ivf",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        SimilarityOps.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+          k = 5, nCentroids = 16, nProbe = 4)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+             |cents AS (SELECT vec_id AS cent_id, emb AS ce FROM e WHERE vec_id < 16),
+             |a0 AS (SELECT c.vec_id AS cand_id, c.emb, t.cent_id,
+             |    CAST(row_number() OVER (PARTITION BY c.vec_id
+             |      ORDER BY round(list_cosine_similarity(c.emb, t.ce), 6) DESC, t.cent_id)
+             |      AS INT) AS ark
+             |  FROM e c CROSS JOIN cents t),
+             |a AS (SELECT cand_id, emb, cent_id FROM a0 WHERE ark = 1),
+             |p0 AS (SELECT q.vec_id AS query_id, q.emb AS qe, t.cent_id,
+             |    CAST(row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY round(list_cosine_similarity(q.emb, t.ce), 6) DESC, t.cent_id)
+             |      AS INT) AS prk
+             |  FROM e q CROSS JOIN cents t WHERE q.vec_id < 10),
+             |p AS (SELECT query_id, qe, cent_id FROM p0 WHERE prk <= 4),
+             |s AS (SELECT p.query_id, a.cand_id,
+             |    round(list_cosine_similarity(p.qe, a.emb), 6) AS cos
+             |  FROM p JOIN a USING (cent_id) WHERE a.cand_id <> p.query_id),
+             |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             |    ORDER BY cos DESC, cand_id) AS INT) AS rk FROM s)
+             |SELECT query_id, cand_id, cos, rk FROM r WHERE rk <= 5""".stripMargin)),
+
     // Scalar-subquery pattern: each row against a global aggregate. The
     // scalar is a partial+final 1-row aggregate cross-joined back via
     // broadcast — NO Exchange SinglePartition anywhere in the plan (an

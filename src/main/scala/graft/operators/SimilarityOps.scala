@@ -142,6 +142,78 @@ object SimilarityOps {
       .select(col("query_id"), col("cand_id"), col("q_emb"), col("c_emb"))
   }
 
+  /** IVF (inverted-file) ANN — CENTROID-pruned search, the clustered
+    * alternative to `lshTopKBanded`'s hash pruning.
+    *
+    * A small coarse-quantizer codebook partitions the corpus into
+    * `nCentroids` inverted lists (every vector is assigned to its nearest
+    * centroid by cosine); a query probes only its `nProbe` nearest lists,
+    * so exact ranking touches ~nProbe/nCentroids of the corpus. Probing
+    * ALL lists (`nProbe = nCentroids`) degenerates to exhaustive search —
+    * SimilaritySpec pins that identity against `bruteForceTopK`.
+    *
+    * The codebook here is a deterministic stand-in for an offline-trained
+    * k-means codebook: the first `nCentroids` corpus vectors by `vec_id`.
+    * At 100 TB the codebook comes out of a sampled k-means job as exactly
+    * the same shape — a kilobyte-scale (cent_id, embedding) table — and
+    * everything downstream is independent of how it was trained; this
+    * choice keeps the whole operator replayable by an ANSI-SQL oracle.
+    *
+    * Plan shape: the codebook folds into ONE array row (sorted by
+    * cent_id) and rides a 1-row broadcast onto the corpus; the assignment
+    * argmax is a row-local fold over that array (rounded cosine, ties to
+    * the smallest cent_id — the fold's strict `>` keeps the earliest
+    * element, replaying SQL's ORDER BY cos DESC, cent_id), so the corpus
+    * is scanned once and NEVER shuffled. Query probe lists are broadcast;
+    * candidates meet in a broadcast hash join on cent_id; only the
+    * candidate set reaches the ranking window. A candidate holds exactly
+    * one inverted-list membership, so cross-probe duplicates are
+    * structurally impossible — no dedup stage on either side. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centCols = corpus.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
+        norm2(col("embedding")).as("cent_norm"))
+    val codebook = centCols
+      .agg(sort_array(collect_list(struct(col("cent_id"), col("cent_emb"),
+        col("cent_norm")))).as("cents"))
+    // rounded cosine per centroid, computed ONCE per element: norms are
+    // precomputed on both sides, so the lambda's only fold is the dot —
+    // dot/(normA*normB) is the identical expression tree `cosine` builds,
+    // hence bit-identical to the oracle's list_cosine_similarity
+    val scoredCents = transform(col("cents"), c =>
+      struct(round(dot(col("c_emb"), c("cent_emb")) /
+          (col("c_norm") * c("cent_norm")), 6).as("acos"),
+        c("cent_id").as("cent_id")))
+    val assignment = aggregate(scoredCents,
+      struct(lit(-2.0).as("acos"), lit(-1L).as("cent_id")),
+      (acc, s) => when(s("acos") > acc("acos"), s).otherwise(acc))
+    val assigned = corpus
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+        norm2(col("embedding")).as("c_norm"))
+      .crossJoin(broadcast(codebook))
+      .select(col("cand_id"), col("c_emb"),
+        assignment.getField("cent_id").as("cent_id"))
+    // query probe lists: queries are small by construction, so a window
+    // over queries x codebook is tiny; the same rounded-cosine + cent_id
+    // tie-break keeps the probe choice engine-replayable
+    val wP = Window.partitionBy("query_id").orderBy(col("pcos").desc, col("cent_id"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(centCols.select(col("cent_id"), col("cent_emb"))))
+      .select(col("query_id"), col("q_emb"), col("cent_id"),
+        round(cosine(col("q_emb"), col("cent_emb")), 6).as("pcos"))
+      .withColumn("prk", row_number().over(wP)).filter(col("prk") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("cent_id"))
+    val scored = assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(col("q_emb"), col("c_emb")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("query_id", "cand_id", "cos", "rk")
+  }
+
   /** Embedding-cosine near-duplicate pairs, EXACT all-pairs form
     * (vec_a < vec_b, cos >= tau). O(n^2) — this is the verify-scale oracle
     * twin and recall reference; the production path at corpus scale is

@@ -144,6 +144,47 @@ class SimilaritySpec extends SparkSpec {
       "a candidate superset cannot lose top-k recall")
   }
 
+  test("IVF ANN: probing ALL lists degenerates to exact search; fewer probes trade recall") {
+    val queries = emb.filter(col("vec_id") < 10)
+    def topkSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topkSet(SimilarityOps.bruteForceTopK(emb, queries, 5))
+    // nProbe = nCentroids scores every (query, candidate) pair once ->
+    // the result must EQUAL brute force, pair for pair
+    val full = topkSet(SimilarityOps.ivfTopK(emb, queries,
+      k = 5, nCentroids = 16, nProbe = 16))
+    assert(full == exact,
+      s"all-list IVF must equal exact top-k (diff ${full.diff(exact).size}/${exact.diff(full).size})")
+    // the gated configuration: 4 of 16 lists
+    val pruned = SimilarityOps.ivfTopK(emb, queries,
+      k = 5, nCentroids = 16, nProbe = 4)
+    val rows = pruned.collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == pairs.toSet.size,
+      "a candidate owns one inverted list — duplicates are impossible")
+    assert(rows.forall(_.getInt(3) <= 5))
+    val recall = topkSet(pruned).intersect(exact).size.toDouble / exact.size
+    info(f"IVF recall vs exact top-5 at 4/16 probes: $recall%.3f")
+    assert(recall >= 0.3, s"IVF recall too low: $recall")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("IVF ANN finds a planted near-identical twin at rank 1") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val twins = queries.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.0001f)).as("embedding"))
+    val spiked = emb.select("vec_id", "embedding").union(twins)
+    // a scaled twin has (to fp rounding) the query's own cosine profile, so
+    // it lands in the same inverted list the query probes first
+    val hits = SimilarityOps.ivfTopK(spiked, queries,
+        k = 5, nCentroids = 16, nProbe = 4)
+      .filter(col("cand_id") === col("query_id") + 1000000L && col("rk") === 1)
+      .count()
+    assert(hits == 10, s"every query's twin must rank first, got $hits/10")
+  }
+
   test("banded ANN finds a planted near-identical twin at rank 1") {
     val queries = emb.filter(col("vec_id") < 10)
     val twins = queries.select((col("vec_id") + 1000000L).as("vec_id"),
