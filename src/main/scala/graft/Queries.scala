@@ -287,7 +287,30 @@ object Queries {
       (s, d) => t(s, d, "events")
         .groupBy("event_type")
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users")),
-      None)
+      None),
+
+    // Exact grouped percentiles (R-7 linear interpolation at h=(n−1)·p —
+    // the SAME convention as DuckDB quantile_cont, so the oracle replays
+    // it). Exact percentile buffers the group's values; the 100 TB path is
+    // percentile_approx (t-digest-style GK sketch, constant memory),
+    // pinned against this exact twin in ApproxDistinctSpec — the same
+    // exact-oracle/approx-scale-path pairing as q19/q19b.
+    Q("q50_percentiles",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(percentile(col("l_quantity"), lit(0.25)), 6).as("p25"),
+          round(percentile(col("l_quantity"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("l_quantity"), lit(0.75)), 6).as("p75"),
+          round(percentile(col("l_quantity"), lit(0.95)), 6).as("p95"),
+          count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+             |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+             |  round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+             |  round(quantile_cont(l_quantity, 0.95), 6) AS p95,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin))
   )
 
   // ------------------------------------------------------------------
@@ -906,7 +929,84 @@ object Queries {
       Some(s"""SELECT doc_id, CAST(j AS INT) AS dim_idx,
               |  (${h16Sql("md5(text) || ':' || CAST(j AS VARCHAR)")}) / 65536.0 - 0.5 AS f
               |FROM documents CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
-              |WHERE text IS NOT NULL""".stripMargin))
+              |WHERE text IS NOT NULL""".stripMargin)),
+
+    // Gopher-style repetition filters: row-local duplicate-token/2-gram
+    // fractions ride through the per-gram count aggregate as a struct, so
+    // the table is scanned once; top-2-gram needs the grouped counts.
+    Q("q46_repetition_stats",
+      (s, d) => QualityOps.repetitionStats(t(s, d, "documents")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |rl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             |    round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS dup_token_frac,
+             |    [array_to_string(t[i:i+1], ' ')
+             |     for i in generate_series(1, greatest(len(t) - 1, 1))] AS gl
+             |  FROM toks),
+             |g AS (SELECT doc_id, unnest(gl) AS gram FROM rl),
+             |gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+             |topg AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_grams FROM gc GROUP BY 1)
+             |SELECT rl.doc_id, rl.n_tokens, rl.dup_token_frac,
+             |  round(1.0 - CAST(len(list_distinct(rl.gl)) AS DOUBLE) / len(rl.gl), 6) AS dup_2gram_frac,
+             |  round(CAST(topg.top_c AS DOUBLE) / topg.n_grams, 6) AS top_2gram_frac
+             |FROM rl JOIN topg ON rl.doc_id = topg.doc_id""".stripMargin)),
+
+    // PII detect + redact. The synthetic corpus carries no PII, so the
+    // entry deterministically plants an email on every 7th doc_id and a
+    // phone on every 11th — derived purely from the table, replayed
+    // identically by the oracle — then counts and redacts both. Regexes
+    // are in the Java-regex/RE2 common subset (see QualityOps).
+    Q("q47_pii_redact",
+      (s, d) => QualityOps.piiRedact(
+        t(s, d, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" contact user"), col("doc_id").cast("string"),
+                lit("@example.com"))).otherwise(lit("")),
+            when(col("doc_id") % 11 === 0, lit(" call 555-867-5309"))
+              .otherwise(lit(""))).as("text"))),
+      Some(s"""WITH inj AS (SELECT doc_id, text ||
+              |    CASE WHEN doc_id % 7 = 0
+              |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              |         ELSE '' END ||
+              |    CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309' ELSE '' END AS text
+              |  FROM documents)
+              |SELECT doc_id,
+              |  CAST(len(regexp_extract_all(text, '${QualityOps.EmailRe}')) AS BIGINT) AS n_emails,
+              |  CAST(len(regexp_extract_all(text, '${QualityOps.PhoneRe}')) AS BIGINT) AS n_phones,
+              |  regexp_replace(regexp_replace(text, '${QualityOps.EmailRe}', '<EMAIL>', 'g'),
+              |    '${QualityOps.PhoneRe}', '<PHONE>', 'g') AS clean
+              |FROM inj""".stripMargin)),
+
+    // Exact stratified sample (1/5 per lang, md5-ranked) — integer-exact
+    // ceil(n/5) threshold; see Sampling.stratifiedExact for why the
+    // floating-point form would be engine-divergent.
+    Q("q48_stratified_sample",
+      (s, d) => Sampling.stratifiedExact(
+          t(s, d, "documents"), col("lang"), col("doc_id"), 1, 5)
+        .select(col("doc_id"), col("lang"), col("rn")),
+      Some(s"""WITH r AS (SELECT doc_id, lang,
+              |    row_number() OVER (PARTITION BY lang
+              |      ORDER BY (${h16Sql("CAST(doc_id AS VARCHAR)")}), doc_id) AS rn,
+              |    count(*) OVER (PARTITION BY lang) AS n
+              |  FROM documents)
+              |SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM r
+              |WHERE rn <= (n * 1 + 4) // 5""".stripMargin)),
+
+    // Symmetric int8 embedding quantization (row-local, zero shuffle);
+    // int8 vector emitted comma-joined (the gate cannot hash arrays).
+    Q("q49_embed_quantize",
+      (s, d) => EmbeddingOps.quantizeInt8(t(s, d, "embeddings")),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |s AS (SELECT vec_id, v,
+             |    greatest(list_max(list_transform(v, x -> abs(x))), 1e-300) AS scale
+             |  FROM e),
+             |q AS (SELECT vec_id, scale,
+             |    list_transform(v, x -> least(floor(x * 127.0 / scale + 0.5), 127)) AS qv
+             |  FROM s)
+             |SELECT vec_id, scale,
+             |  CAST(len(list_filter(qv, x -> abs(x) >= 127)) AS BIGINT) AS n_sat,
+             |  array_to_string(list_transform(qv, x -> CAST(CAST(x AS BIGINT) AS VARCHAR)), ',') AS q_csv
+             |FROM q""".stripMargin))
   )
 
   val all: Seq[Q] = relational ++ eventCep ++ pipelineOps ++ TranscriptQueries.all

@@ -22,4 +22,30 @@ class ApproxDistinctSpec extends SparkSpec {
         s"$group: approx $a vs exact $e exceeds 3*rsd")
     }
   }
+
+  // q50's exact percentile buffers every value of a group; at 100 TB the
+  // operator of record is percentile_approx (bounded-memory sketch). Pin
+  // the sketch against q50's gated exact twin: with accuracy=10000 the
+  // rank error is <= n/10000, which for l_quantity (integers 1..50,
+  // ~uniform) bounds the VALUE error well inside +-1.
+  test("percentile_approx tracks q50's exact percentiles within the " +
+    "accuracy-implied value bound") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.01"
+    val exact = SparkEntry.queries("q50_percentiles")(spark, d)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val approx = spark.read.parquet(s"$d/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_quantity"),
+        array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)), lit(10000)).as("ps"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(approx.keySet == exact.keySet && exact.nonEmpty)
+    exact.foreach { case (group, es) =>
+      es.zip(approx(group)).foreach { case (e, a) =>
+        assert(math.abs(a - e) <= 1.0,
+          s"$group: approx percentile $a vs exact $e drifts past the bound")
+      }
+    }
+  }
 }

@@ -78,4 +78,24 @@ class PlanSpec extends SparkSpec {
     val plan = planOf("q43_pivot")
     assert("Scan parquet".r.findAllIn(plan).size == 1, plan.take(2000))
   }
+
+  test("PII redaction is a zero-shuffle codegen projection (q47)") {
+    val plan = planOf("q47_pii_redact")
+    assert(!plan.contains("Exchange"), s"q47 must not shuffle:\n${plan.take(2000)}")
+    assert("Scan parquet".r.findAllIn(plan).size == 1)
+  }
+
+  test("int8 quantization is row-local: no shuffle, one scan (q49)") {
+    val plan = planOf("q49_embed_quantize")
+    assert(!plan.contains("Exchange"), s"q49 must not shuffle:\n${plan.take(2000)}")
+    assert("Scan parquet".r.findAllIn(plan).size == 1)
+  }
+
+  test("repetition stats scan the corpus once and partial-aggregate (q46)") {
+    val plan = planOf("q46_repetition_stats")
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"row-local fractions must ride the gram aggregate, not re-scan:\n${plan.take(2000)}")
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, // partial+final × 2 keys
+      s"expected partial aggregation on both groupBys:\n${plan.take(2000)}")
+  }
 }
