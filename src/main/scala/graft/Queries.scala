@@ -1006,7 +1006,67 @@ object Queries {
              |SELECT vec_id, scale,
              |  CAST(len(list_filter(qv, x -> abs(x) >= 127)) AS BIGINT) AS n_sat,
              |  array_to_string(list_transform(qv, x -> CAST(CAST(x AS BIGINT) AS VARCHAR)), ',') AS q_csv
-             |FROM q""".stripMargin))
+             |FROM q""".stripMargin)),
+
+    // Source-level curation verdicts (drop a bad domain wholesale).
+    Q("q51_source_filter",
+      (s, d) => QualityOps.sourceStats(t(s, d, "documents")),
+      Some("""WITH s AS (SELECT source, count(*) AS n_docs,
+             |    round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
+             |    round(avg(CAST(n_chars < 100 AS INT)), 6) AS short_frac
+             |  FROM documents GROUP BY source)
+             |SELECT source, n_docs, avg_tokens, short_frac,
+             |  CASE WHEN short_frac <= 0.5 AND n_docs >= 3 THEN 'keep' ELSE 'drop' END AS verdict
+             |FROM s""".stripMargin)),
+
+    // Benchmark decontamination: docs sharing any word 3-gram with the
+    // eval slice (doc_id < 10 stands in for a held-out benchmark set).
+    Q("q52_decontaminate",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        QualityOps.decontaminate(
+          docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |gl AS (SELECT doc_id, [array_to_string(t[i:i+2], ' ')
+             |    for i in generate_series(1, greatest(len(t) - 2, 1))] AS gl FROM toks),
+             |ds AS (SELECT doc_id, unnest(list_distinct(gl)) AS sh FROM gl WHERE doc_id >= 10),
+             |ev AS (SELECT DISTINCT sh FROM (SELECT unnest(gl) AS sh FROM gl WHERE doc_id < 10))
+             |SELECT ds.doc_id, count(*) AS n_shared
+             |FROM ds JOIN ev USING (sh) GROUP BY 1""".stripMargin)),
+
+    // Sequential context-window packing via per-stratum running token
+    // offsets — all-integer bin arithmetic (engine-exact).
+    Q("q53_pack_sequences",
+      (s, d) => QualityOps.packSequences(t(s, d, "documents"), 2048),
+      Some("""WITH d AS (SELECT doc_id, lang,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+             |c AS (SELECT doc_id, lang, n_tokens,
+             |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      - n_tokens AS start_tok
+             |  FROM d)
+             |SELECT doc_id, lang, n_tokens, start_tok,
+             |  start_tok // 2048 AS seq_bin FROM c""".stripMargin)),
+
+    // Per-doc top-3 salient terms by tf·(N/df) — ratio-idf, because ln()
+    // is libm-dependent and not bit-identical across engines while one
+    // integer-exact division is; ranking on the full-precision score
+    // with a token tie-break.
+    Q("q54_tfidf_topk",
+      (s, d) => QualityOps.tfidfTopK(t(s, d, "documents"), 3),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+             |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+             |sc AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+             |    CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+             |  FROM tf JOIN df USING (tok) CROSS JOIN n),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY score DESC, tok) AS rk FROM sc)
+             |SELECT doc_id, tok, tf, df, round(score, 6) AS score,
+             |  CAST(rk AS BIGINT) AS rk
+             |FROM r WHERE rk <= 3""".stripMargin))
   )
 
   val all: Seq[Q] = relational ++ eventCep ++ pipelineOps ++ TranscriptQueries.all

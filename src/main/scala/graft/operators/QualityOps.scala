@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -90,4 +91,87 @@ object QualityOps {
       regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
       regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>").as("clean"))
+
+  /** Source-level curation (the C4/RefinedWeb "drop the bad domain"
+    * step): aggregate per-document signals to the source and emit a
+    * keep/drop verdict — sources whose short-document share exceeds
+    * `maxShortFrac` or with fewer than `minDocs` documents are dropped
+    * wholesale. One partial-agg shuffle on source; the verdict joins back
+    * to documents as a broadcast (sources ≪ documents at any scale).
+    * Averages divide exact integer sums, so the doubles are identical
+    * cross-engine before the 1e-6 rounding. */
+  def sourceStats(docs: DataFrame, shortChars: Int = 100,
+      maxShortFrac: Double = 0.5, minDocs: Long = 3): DataFrame =
+    docs.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(TextFunctions.tokenCount(col("text"))), 6).as("avg_tokens"),
+        round(avg(when(col("n_chars") < shortChars, 1.0).otherwise(0.0)), 6)
+          .as("short_frac"))
+      .withColumn("verdict",
+        when(col("short_frac") <= maxShortFrac && col("n_docs") >= minDocs,
+          "keep").otherwise("drop"))
+
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * 3-gram with the held-out/eval set, with the shared-shingle count as
+    * evidence. The eval side is distinct-collapsed and broadcast (eval
+    * sets are thousands of docs against billions) — the corpus is scanned
+    * once, shuffled once on doc_id for the count. Per-doc shingles are
+    * distinct-collapsed first so n_shared = |shingle-set intersection|. */
+  def decontaminate(corpus: DataFrame, eval: DataFrame): DataFrame = {
+    val corpusSh = corpus.select(col("doc_id"),
+      explode(array_distinct(TextFunctions.shingles(col("text"), 3))).as("sh"))
+    val evalSh = eval
+      .select(explode(TextFunctions.shingles(col("text"), 3)).as("sh"))
+      .distinct()
+    corpusSh.join(broadcast(evalSh), "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Sequential sequence packing: within each stratum (e.g. lang), lay the
+    * documents out in doc_id order and cut fixed `window`-token context
+    * windows from the running token count; a document's bin is
+    * floor(start_offset / window). This is the deterministic "pack in
+    * arrival order" strategy (not bin-packing — no reordering), so it is
+    * a window cumsum: one shuffle on the stratum, spillable sort inside.
+    * At 100 TB, strata are date×lang shards, keeping each sort bounded;
+    * the bin arithmetic is pure integers (engine-exact).
+    * Emits start_tok (0-based running offset) and seq_bin. */
+  def packSequences(docs: DataFrame, window: Int = 2048): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_bin", (col("start_tok") / window).cast("long"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("start_tok"), col("seq_bin"))
+  }
+
+  /** Per-document top-k salient terms by tf·(N/df) — the ratio-idf
+    * variant rather than tf·ln(N/df), because ln() is libm-dependent and
+    * NOT bit-identical across engines, while one integer-exact division
+    * is. Ranking happens on the full-precision score with a total-order
+    * token tie-break; the emitted score is rounded at 1e-6.
+    * Plan: explode → (doc,tok) count → df from that same aggregate →
+    * shuffle join on tok → per-doc window top-k. The (doc,tok) aggregate
+    * is computed ONCE and reused for both tf and df. */
+  def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = tf.join(df, "tok").crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        round(col("score"), 6).as("score"), col("rk"))
+  }
 }

@@ -76,4 +76,63 @@ class QualityOpsSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).sorted
     assert(a.sameElements(b))
   }
+
+  test("sourceStats: keep/drop verdicts from short-doc share and min-docs") {
+    val docs = Seq(
+      (1L, "a b c", "good.com", 200L), (2L, "d e", "good.com", 300L),
+      (3L, "f", "good.com", 150L),
+      (4L, "x y", "shorty.net", 50L), (5L, "z", "shorty.net", 40L),
+      (6L, "q r", "shorty.net", 60L), (7L, "s", "shorty.net", 500L),
+      (8L, "lone text", "tiny.org", 400L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val m = QualityOps.sourceStats(docs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(m("good.com").getString(4) == "keep")   // 3 docs, 0% short
+    assert(m("shorty.net").getString(4) == "drop") // 3/4 short
+    assert(m("shorty.net").getDouble(3) == 0.75)
+    assert(m("tiny.org").getString(4) == "drop")   // below min_docs
+    assert(m("good.com").getDouble(2) == 2.0)      // (3+2+1)/3 tokens
+  }
+
+  test("decontaminate: shared-3-gram counts against a broadcast eval set") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps"),  // shares 2 eval 3-grams
+      (11L, "totally different words here"),
+      (12L, "quick brown fox elsewhere")   // shares 1
+    ).toDF("doc_id", "text")
+    val eval = Seq((1L, "the quick brown fox runs")).toDF("doc_id", "text")
+    // eval 3-grams: {the quick brown, quick brown fox, brown fox runs}
+    val m = QualityOps.decontaminate(corpus, eval)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(10L -> 2L, 12L -> 1L)) // doc 11 clean -> absent
+  }
+
+  test("packSequences: running offsets and integer window bins") {
+    val docs = Seq(
+      (1L, "a b c", "en"), (2L, "d e f g", "en"), (3L, "h i", "en"),
+      (4L, "x y z", "de")
+    ).toDF("doc_id", "text", "lang")
+    val m = QualityOps.packSequences(docs, 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    // en: starts 0, 3, 7 -> bins 0, 0, 1 at window=5; de restarts at 0
+    assert(m == Map(1L -> ((0L, 0L)), 2L -> ((3L, 0L)),
+      3L -> ((7L, 1L)), 4L -> ((0L, 0L))))
+  }
+
+  test("tfidfTopK: rare terms outrank common ones, token tie-break") {
+    val docs = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana cherry common"),
+      (3L, "common cherry cherry")
+    ).toDF("doc_id", "text")
+    // df: apple 1, banana 2, cherry 2, common 3; N = 3
+    val top = QualityOps.tfidfTopK(docs, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(5)) -> r.getString(1)).toMap
+    // doc 1: apple tf2*3/1 = 6 > banana 1*3/2 = 1.5 > common 1
+    assert(top((1L, 1L)) == "apple" && top((1L, 2L)) == "banana")
+    // doc 2: banana and cherry tie at 1.5 -> token tie-break
+    assert(top((2L, 1L)) == "banana" && top((2L, 2L)) == "cherry")
+    // doc 3: cherry tf2*3/2 = 3 > common 1
+    assert(top((3L, 1L)) == "cherry" && top((3L, 2L)) == "common")
+  }
 }
