@@ -1066,7 +1066,23 @@ object Queries {
              |    ORDER BY score DESC, tok) AS rk FROM sc)
              |SELECT doc_id, tok, tf, df, round(score, 6) AS score,
              |  CAST(rk AS BIGINT) AS rk
-             |FROM r WHERE rk <= 3""".stripMargin))
+             |FROM r WHERE rk <= 3""".stripMargin)),
+
+    // Overlapping token-window chunking (retrieval/embedding prep) —
+    // row-local, zero shuffle; chunk identity pinned via md5 so the gate
+    // checks the exact chunk text without hashing long strings twice.
+    Q("q55_chunk_overlap",
+      (s, d) => QualityOps.chunkTokens(t(s, d, "documents"), 64, 48),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |st AS (SELECT doc_id, t,
+             |    generate_series(1, greatest(((len(t) - 64 + 47) // 48) * 48 + 1, 1), 48) AS starts
+             |  FROM toks),
+             |ch AS (SELECT doc_id, [array_to_string(t[s:s+63], ' ') for s in starts] AS cl FROM st),
+             |e AS (SELECT doc_id, unnest(generate_series(1, len(cl))) AS i, cl FROM ch)
+             |SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
+             |  CAST(len(string_split(cl[i], ' ')) AS BIGINT) AS chunk_tokens,
+             |  md5(cl[i]) AS chunk_fp
+             |FROM e""".stripMargin))
   )
 
   val all: Seq[Q] = relational ++ eventCep ++ pipelineOps ++ TranscriptQueries.all

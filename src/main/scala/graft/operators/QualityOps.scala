@@ -189,4 +189,32 @@ object QualityOps {
       .select(col("doc_id"), col("tok"), col("tf"), col("df"),
         round(col("score"), 6).as("score"), col("rk"))
   }
+
+  /** Overlapping token-window chunking (the retrieval/embedding prep
+    * step): cut each document into windows of `window` tokens starting
+    * every `stride` tokens; the last chunk may be short; a doc shorter
+    * than one window yields exactly one chunk. Chunk starts are
+    * 1 + stride·i for i in 0..ceil((len−window)/stride) (integer
+    * arithmetic). Row-local (sequence + transform + posexplode) — zero
+    * shuffle, runs at scan speed on any corpus size. */
+  def chunkTokens(docs: DataFrame, window: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(stride > 0 && window >= stride,
+      "need 0 < stride <= window (otherwise tokens are skipped)")
+    val chunks = TextFunctions.bound(TextFunctions.tokens(col("text"))) { tk =>
+      // last start = stride·ceil((len−window)/stride) + 1, clamped to 1;
+      // the clamp also makes the floor-vs-truncate ambiguity of negative
+      // integer division irrelevant (both land at 1 for len < window)
+      val lastStart = greatest(
+        floor((size(tk) - lit(window) + lit(stride - 1)).cast("double") / stride)
+          .cast("int") * stride + 1,
+        lit(1))
+      transform(sequence(lit(1), lastStart, lit(stride)),
+        i => concat_ws(" ", slice(tk, i, lit(window))))
+    }
+    docs.select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(split(col("chunk"), " ")).cast("long").as("chunk_tokens"),
+        md5(col("chunk")).as("chunk_fp"))
+  }
 }

@@ -119,6 +119,52 @@ class QualityOpsSpec extends SparkSpec {
       3L -> ((7L, 1L)), 4L -> ((0L, 0L))))
   }
 
+  test("chunkTokens: overlapping windows with a short tail; tiny docs " +
+    "yield one chunk") {
+    val docs = Seq((1L, "a b c d e f g"), (2L, "x")).toDF("doc_id", "text")
+    val rows = QualityOps.chunkTokens(docs, window = 4, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // doc 1 (7 tokens): starts 1,3,5 -> chunks of 4,4,3 tokens
+    assert(rows == Map((1L, 0L) -> 4L, (1L, 1L) -> 4L, (1L, 2L) -> 3L,
+      (2L, 0L) -> 1L))
+    val fps = QualityOps.chunkTokens(docs, 4, 2).select("chunk_fp")
+      .collect().map(_.getString(0))
+    assert(fps.distinct.length == 4) // every chunk distinct here
+  }
+
+  // The round-4 advice precedent (q38d NPE on NULL payload): every new
+  // curation op must either pass NULLs through or drop the row — never
+  // throw. The driver tables carry no NULLs, so this is the pin.
+  test("curation ops are NULL-safe: no crash, deterministic presence") {
+    val docs = Seq((1L, "some text", "en", "s1", 9L),
+        (2L, null: String, "en", "s1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    // shingle-path ops emit a degenerate row for NULL text (size(NULL) is
+    // NULL and greatest() ignores NULLs, so the tail-shingle clamp yields
+    // one empty gram) — metrics come out NULL, never an exception
+    val rep = QualityOps.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(rep(1L) == false && rep.getOrElse(2L, true) == true)
+    val ch = QualityOps.chunkTokens(docs).collect()
+    assert(ch.count(_.getLong(0) == 1L) == 1)
+    // direct-explode ops drop the NULL row entirely
+    assert(QualityOps.tfidfTopK(docs).collect().forall(_.getLong(0) == 1L))
+    // projection-based op keeps the row with NULL outputs
+    val pii = QualityOps.piiRedact(docs).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(3)).toMap
+    assert(pii == Map(1L -> false, 2L -> true))
+    // aggregation-based ops must not throw on NULL inputs
+    QualityOps.sourceStats(docs).collect()
+    QualityOps.packSequences(docs).collect()
+
+    val emb = Seq((1L, Seq(0.5f, -1.0f)), (2L, null: Seq[Float]))
+      .toDF("vec_id", "embedding")
+    val q = graft.operators.EmbeddingOps.quantizeInt8(emb).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(3)).toMap
+    assert(q == Map(1L -> false, 2L -> true))
+  }
+
   test("tfidfTopK: rare terms outrank common ones, token tie-break") {
     val docs = Seq(
       (1L, "apple apple banana common"),
