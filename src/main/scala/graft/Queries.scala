@@ -426,6 +426,19 @@ object Queries {
 
   private val shinglesSqlCtes = "WITH " + shinglesCtes("documents")
 
+  /** SQL twin of QualityOps.chunkTokens over `documents`: CTE `e` yields
+    * (doc_id, i [1-based chunk ordinal], cl [chunk list]). The last-start
+    * arithmetic mirrors the Scala integer form; the greatest(...,1) clamp
+    * makes the floor-vs-truncate ambiguity of negative integer division
+    * irrelevant (both land at 1 for len < window). */
+  private def chunkCtes(window: Int, stride: Int): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |st AS (SELECT doc_id, t,
+       |    generate_series(1, greatest(((len(t) - $window + ${stride - 1}) // $stride) * $stride + 1, 1), $stride) AS starts
+       |  FROM toks),
+       |ch AS (SELECT doc_id, [array_to_string(t[s:s+${window - 1}], ' ') for s in starts] AS cl FROM st),
+       |e AS (SELECT doc_id, unnest(generate_series(1, len(cl))) AS i, cl FROM ch)""".stripMargin
+
   /** SQL form of VectorFunctions.lshBucket over a column named `emb`
     * (DOUBLE[]): the hyperplane weights are the SAME md5-derived dyadic
     * rationals as the Spark plan literals, and list_dot_product accumulates
@@ -1073,16 +1086,69 @@ object Queries {
     // checks the exact chunk text without hashing long strings twice.
     Q("q55_chunk_overlap",
       (s, d) => QualityOps.chunkTokens(t(s, d, "documents"), 64, 48),
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-             |st AS (SELECT doc_id, t,
-             |    generate_series(1, greatest(((len(t) - 64 + 47) // 48) * 48 + 1, 1), 48) AS starts
-             |  FROM toks),
-             |ch AS (SELECT doc_id, [array_to_string(t[s:s+63], ' ') for s in starts] AS cl FROM st),
-             |e AS (SELECT doc_id, unnest(generate_series(1, len(cl))) AS i, cl FROM ch)
-             |SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
-             |  CAST(len(string_split(cl[i], ' ')) AS BIGINT) AS chunk_tokens,
-             |  md5(cl[i]) AS chunk_fp
-             |FROM e""".stripMargin))
+      Some(s"""WITH ${chunkCtes(64, 48)}
+              |SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
+              |  CAST(len(string_split(cl[i], ' ')) AS BIGINT) AS chunk_tokens,
+              |  md5(cl[i]) AS chunk_fp
+              |FROM e""".stripMargin)),
+
+    // Cross-document duplicated passages: chunk-granularity exact
+    // substring dedup (16-token windows, stride 8) — catches shared
+    // boilerplate spans whole-document dedup misses.
+    Q("q56_dup_passages",
+      (s, d) => QualityOps.dupPassages(t(s, d, "documents"), 16, 8),
+      Some(s"""WITH ${chunkCtes(16, 8)}
+              |SELECT md5(cl[i]) AS chunk_fp, count(*) AS n_occurrences,
+              |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+              |FROM e GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin)),
+
+    // The composed curation decision (capstone of the filtering family):
+    // every per-doc signal in one scan + the broadcast source verdict,
+    // folded into a first-failing-reason verdict. Thresholds compare the
+    // ROUNDED signals so the branch taken is engine-exact.
+    Q("q57_curation_verdict",
+      (s, d) => QualityOps.curationVerdict(t(s, d, "documents")),
+      Some("""WITH srcv AS (
+             |  SELECT source,
+             |    CASE WHEN round(avg(CAST(n_chars < 100 AS INT)), 6) <= 0.5
+             |              AND count(*) >= 3 THEN 'keep' ELSE 'drop' END AS src_verdict
+             |  FROM documents GROUP BY source),
+             |sig AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |      x -> x IN ('the','a','of','and'))) AS DOUBLE) AS stops,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |      x -> x IN ('der','die','das','und'))) AS DOUBLE) AS de,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |      x -> x IN ('le','la','les','et'))) AS DOUBLE) AS fr,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |      x -> x IN ('el','los','las','y'))) AS DOUBLE) AS es,
+             |    string_split(text, ' ') AS t
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id, source, n_tokens,
+             |    round(least(1.0, n_tok / 100.0) * (1.0 - stops / n_tok), 6) AS score,
+             |    round(1.0 - CAST(len(list_distinct(
+             |        [array_to_string(t[i:i+1], ' ')
+             |         for i in generate_series(1, greatest(len(t) - 1, 1))])) AS DOUBLE)
+             |      / greatest(len(t) - 1, 1), 6) AS dup_2gram_frac,
+             |    CASE WHEN stops >= de AND stops >= fr AND stops >= es AND stops > 0 THEN 'en'
+             |         WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+             |         WHEN fr >= es AND fr > 0 THEN 'fr'
+             |         WHEN es > 0 THEN 'es'
+             |         ELSE 'und' END AS lang_guess
+             |  FROM sig)
+             |SELECT m.doc_id, m.n_tokens, m.score, m.dup_2gram_frac,
+             |  m.lang_guess, srcv.src_verdict,
+             |  CASE WHEN m.n_tokens < 20 THEN 'short'
+             |       WHEN m.dup_2gram_frac > 0.09 THEN 'repetitive'
+             |       WHEN m.lang_guess = 'und' THEN 'lang'
+             |       WHEN m.score < 0.3 THEN 'lowq'
+             |       WHEN srcv.src_verdict = 'drop' THEN 'source'
+             |       ELSE 'keep' END AS verdict
+             |FROM m JOIN srcv ON m.source = srcv.source""".stripMargin))
   )
 
   val all: Seq[Q] = relational ++ eventCep ++ pipelineOps ++ TranscriptQueries.all

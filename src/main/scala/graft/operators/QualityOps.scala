@@ -217,4 +217,60 @@ object QualityOps {
         size(split(col("chunk"), " ")).cast("long").as("chunk_tokens"),
         md5(col("chunk")).as("chunk_fp"))
   }
+
+  /** Cross-document duplicated passages (the chunk-granularity exact
+    * substring detector — catches boilerplate/copy-paste spans that
+    * whole-document dedup misses): chunk every document, then group by
+    * chunk fingerprint and keep fingerprints seen in ≥2 distinct docs.
+    * One scan + one partial-agg shuffle on the 16-byte fingerprint;
+    * count-distinct over doc_id is exact (the per-fp doc list is small by
+    * construction — a fp shared by millions of docs is exactly the
+    * boilerplate this op exists to surface, and the aggregate is still
+    * one row per fp). */
+  def dupPassages(docs: DataFrame, window: Int = 16,
+      stride: Int = 8): DataFrame =
+    chunkTokens(docs, window, stride)
+      .groupBy(col("chunk_fp"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+
+  /** The composed curation decision — every per-document filter signal in
+    * ONE scan (token count, quality score, 2-gram repetition, language
+    * guess) joined with the broadcast source-level verdict, folded into a
+    * first-failing-reason verdict column: short → repetitive → lang →
+    * lowq → source → keep. Thresholds compare the 1e-6-ROUNDED signals so
+    * the branch taken is engine-exact. This is the q45-style capstone for
+    * the filtering family: a user runs this one operator to tag a corpus. */
+  def curationVerdict(docs: DataFrame, minTokens: Int = 20,
+      maxDup2: Double = 0.09, minScore: Double = 0.3): DataFrame = {
+    val src = sourceStats(docs)
+      .select(col("source"), col("verdict").as("src_verdict"))
+    val nTok = TextFunctions.tokenCount(col("text")).cast("double")
+    val stops = TextFunctions
+      .stopwordCount(col("text"), TextFunctions.EnStops).cast("double")
+    val sig = docs.select(col("doc_id"), col("source"),
+      nTok.cast("long").as("n_tokens"),
+      round(least(lit(1.0), nTok / 100.0) * (lit(1.0) - stops / nTok), 6)
+        .as("score"),
+      TextFunctions.bound(TextFunctions.tokens(col("text"))) { tk =>
+        TextFunctions.bound(TextFunctions.shinglesOf(tk, 2)) { g =>
+          round(lit(1.0) -
+            size(array_distinct(g)).cast("double") / size(g).cast("double"), 6)
+        }
+      }.as("dup_2gram_frac"),
+      TextFunctions.langGuess(col("text")).as("lang_guess"))
+    sig.join(broadcast(src), "source")
+      .withColumn("verdict",
+        when(col("n_tokens") < minTokens, "short")
+          .when(col("dup_2gram_frac") > maxDup2, "repetitive")
+          .when(col("lang_guess") === "und", "lang")
+          .when(col("score") < minScore, "lowq")
+          .when(col("src_verdict") === "drop", "source")
+          .otherwise("keep"))
+      .select(col("doc_id"), col("n_tokens"), col("score"),
+        col("dup_2gram_frac"), col("lang_guess"), col("src_verdict"),
+        col("verdict"))
+  }
 }

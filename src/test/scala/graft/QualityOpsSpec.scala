@@ -165,6 +165,35 @@ class QualityOpsSpec extends SparkSpec {
     assert(q == Map(1L -> false, 2L -> true))
   }
 
+  test("dupPassages: an exact shared span surfaces once with its doc reach") {
+    val docs = Seq(
+      (1L, "p q r s t u"),        // chunks(4,2): "p q r s", "r s t u"
+      (2L, "x y p q r s"),        // chunks:      "x y p q", "p q r s"
+      (3L, "unrelated words entirely here")
+    ).toDF("doc_id", "text")
+    val rows = QualityOps.dupPassages(docs, window = 4, stride = 2).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(1) == 2L) // n_occurrences
+    assert(rows(0).getLong(2) == 2L) // n_docs
+    assert(rows(0).getLong(3) == 1L) // first_doc
+  }
+
+  test("curationVerdict: first-failing-reason covers every branch") {
+    val docs = Seq(
+      (1L, "a", "s1", 200L),                                  // short
+      (2L, "b b b b b", "s1", 200L),                          // repetitive
+      (3L, "hola mundo grande", "s1", 200L),                  // no marker -> lang
+      (4L, "the of and cat dog", "s1", 200L),                 // score 0.02 -> lowq
+      (5L, "the cat sat on mat ran far too fast now", "s1", 200L), // keep
+      (6L, "the cat runs the dog walks the bird flies now", "s2", 200L) // source (s2 < minDocs)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val v = QualityOps
+      .curationVerdict(docs, minTokens = 2, maxDup2 = 0.4, minScore = 0.05)
+      .collect().map(r => r.getLong(0) -> r.getString(6)).toMap
+    assert(v == Map(1L -> "short", 2L -> "repetitive", 3L -> "lang",
+      4L -> "lowq", 5L -> "keep", 6L -> "source"))
+  }
+
   test("tfidfTopK: rare terms outrank common ones, token tie-break") {
     val docs = Seq(
       (1L, "apple apple banana common"),
