@@ -1108,7 +1108,33 @@ object Queries {
     // ROUNDED signals so the branch taken is engine-exact.
     Q("q57_curation_verdict",
       (s, d) => QualityOps.curationVerdict(t(s, d, "documents")),
-      Some("""WITH srcv AS (
+      Some(curationVerdictSql)),
+
+    // The SAME curation decision at ingest time: signals computed on a
+    // REAL StreamingQuery over a file stream of documents (stateless
+    // projection), source verdicts batch-computed and broadcast
+    // (stream-static join, zero streaming state), committed through the
+    // exactly-once sink — gated on q57's oracle.
+    Q("q57b_curation_verdict_stream",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_q57b_${System.nanoTime()}"
+        docs.repartition(4).write.mode("overwrite").parquet(s"$base/in")
+        val incoming = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "2").parquet(s"$base/in")
+        val src = QualityOps.sourceStats(docs)
+          .select(col("source"), col("verdict").as("src_verdict"))
+        val out = QualityOps.curationVerdictAgainst(
+          QualityOps.curationSignals(incoming), src)
+        graft.flow.FlowSink.runAvailableNow(out, s"$base/out", s"$base/ckpt")
+          .readCommitted(s).drop("epoch")
+      },
+      Some(curationVerdictSql))
+  )
+
+  // lazy: referenced by pipelineOps, which is declared above
+  private lazy val curationVerdictSql: String =
+    """WITH srcv AS (
              |  SELECT source,
              |    CASE WHEN round(avg(CAST(n_chars < 100 AS INT)), 6) <= 0.5
              |              AND count(*) >= 3 THEN 'keep' ELSE 'drop' END AS src_verdict
@@ -1148,8 +1174,7 @@ object Queries {
              |       WHEN m.score < 0.3 THEN 'lowq'
              |       WHEN srcv.src_verdict = 'drop' THEN 'source'
              |       ELSE 'keep' END AS verdict
-             |FROM m JOIN srcv ON m.source = srcv.source""".stripMargin))
-  )
+             |FROM m JOIN srcv ON m.source = srcv.source""".stripMargin
 
   val all: Seq[Q] = relational ++ eventCep ++ pipelineOps ++ TranscriptQueries.all
 }

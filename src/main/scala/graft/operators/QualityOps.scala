@@ -244,13 +244,19 @@ object QualityOps {
     * the branch taken is engine-exact. This is the q45-style capstone for
     * the filtering family: a user runs this one operator to tag a corpus. */
   def curationVerdict(docs: DataFrame, minTokens: Int = 20,
-      maxDup2: Double = 0.09, minScore: Double = 0.3): DataFrame = {
-    val src = sourceStats(docs)
-      .select(col("source"), col("verdict").as("src_verdict"))
+      maxDup2: Double = 0.09, minScore: Double = 0.3): DataFrame =
+    curationVerdictAgainst(curationSignals(docs),
+      sourceStats(docs).select(col("source"), col("verdict").as("src_verdict")),
+      minTokens, maxDup2, minScore)
+
+  /** The per-document signal projection alone — a pure stateless
+    * projection, so it runs unchanged on a STREAMING DataFrame (the
+    * ingest-time curation path, gated as q57b). */
+  def curationSignals(docs: DataFrame): DataFrame = {
     val nTok = TextFunctions.tokenCount(col("text")).cast("double")
     val stops = TextFunctions
       .stopwordCount(col("text"), TextFunctions.EnStops).cast("double")
-    val sig = docs.select(col("doc_id"), col("source"),
+    docs.select(col("doc_id"), col("source"),
       nTok.cast("long").as("n_tokens"),
       round(least(lit(1.0), nTok / 100.0) * (lit(1.0) - stops / nTok), 6)
         .as("score"),
@@ -261,7 +267,16 @@ object QualityOps {
         }
       }.as("dup_2gram_frac"),
       TextFunctions.langGuess(col("text")).as("lang_guess"))
-    sig.join(broadcast(src), "source")
+  }
+
+  /** Fold signals + the (broadcast, batch-computed) source verdicts into
+    * the final decision. Stream-static: `signals` may be a streaming
+    * DataFrame while `srcVerdicts` is a small batch dimension — the join
+    * is a broadcast hash join with ZERO streaming state. */
+  def curationVerdictAgainst(signals: DataFrame, srcVerdicts: DataFrame,
+      minTokens: Int = 20, maxDup2: Double = 0.09,
+      minScore: Double = 0.3): DataFrame =
+    signals.join(broadcast(srcVerdicts), "source")
       .withColumn("verdict",
         when(col("n_tokens") < minTokens, "short")
           .when(col("dup_2gram_frac") > maxDup2, "repetitive")
@@ -272,5 +287,4 @@ object QualityOps {
       .select(col("doc_id"), col("n_tokens"), col("score"),
         col("dup_2gram_frac"), col("lang_guess"), col("src_verdict"),
         col("verdict"))
-  }
 }

@@ -194,6 +194,36 @@ class QualityOpsSpec extends SparkSpec {
       4L -> "lowq", 5L -> "keep", 6L -> "source"))
   }
 
+  test("chunkTokens coverage property: every token position lands in a " +
+    "chunk, starts advance by exactly stride, tail never exceeds window") {
+    val rnd = new scala.util.Random(42)
+    val docs = (1L to 40L).map { id =>
+      val n = 1 + rnd.nextInt(200)
+      id -> (1 to n).map(i => s"t$i").mkString(" ")
+    }
+    val df = docs.toDF("doc_id", "text")
+    for ((window, stride) <- Seq((64, 48), (16, 8), (7, 3), (5, 5))) {
+      val chunks = QualityOps.chunkTokens(df, window, stride)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1)
+      docs.foreach { case (id, text) =>
+        val n = text.split(" ").length
+        val cs = chunks(id).sortBy(_._2)
+        // chunk i covers positions 1+stride*i .. min(1+stride*i+window-1, n)
+        cs.foreach { case (_, idx, ct) =>
+          val start = 1 + stride * idx
+          assert(ct == math.min(start + window - 1, n) - start + 1,
+            s"doc $id w=$window s=$stride idx=$idx")
+        }
+        // the last chunk reaches the end of the document
+        val (_, lastIdx, lastCt) = cs.last
+        assert(1 + stride * lastIdx + lastCt - 1 == n.max(1))
+        // and the one before it (if any) did NOT (no redundant tail chunk)
+        if (cs.length > 1) assert(stride * (cs.length - 2) + window < n)
+      }
+    }
+  }
+
   test("tfidfTopK: rare terms outrank common ones, token tie-break") {
     val docs = Seq(
       (1L, "apple apple banana common"),
