@@ -12,9 +12,10 @@ import graft.functions.TextFunctions
   *
   * Scale notes (100 TB): `repetitionStats` is two hash aggregations keyed
   * by (doc_id, gram) then doc_id — partial aggregation applies to both, and
-  * the row-local fractions ride through the first aggregate as a struct so
-  * the documents table is scanned exactly once. `piiRedact` is a pure
-  * codegen'd projection (regexp over the scan, no shuffle at all).
+  * the row-local fractions ride through the aggregates as primitive
+  * first() columns so the documents table is scanned exactly once.
+  * `piiRedact` is a pure codegen'd projection (regexp over the scan, no
+  * shuffle at all).
   *
   * Cross-engine determinism: fractions are ratios of small integers rounded
   * at 1e-6 (Queries.scala conventions); the redaction regexes use only
