@@ -539,12 +539,23 @@ object Queries {
 
     Q("q29_quality_score",
       (s, d) => {
-        val nTok = TextFunctions.tokenCount(col("text")).cast("double")
-        val stops = TextFunctions.stopwordCount(col("text"), TextFunctions.EnStops).cast("double")
-        t(s, d, "documents").select(col("doc_id"),
-          nTok.cast("long").as("n_tokens"),
-          round(stops / nTok, 6).as("stop_ratio"),
-          round(least(lit(1.0), nTok / 100.0) * (lit(1.0) - stops / nTok), 6).as("score"))
+        // one tokenization per row for all three outputs (each bare
+        // reference to nTok/stops previously embedded its own split —
+        // six splits plus two filter passes per row); aliases inside the
+        // HOF lambda are stripped, positional cast restores them
+        val m = TextFunctions.bound(TextFunctions.tokens(col("text"))) { tk =>
+          val nTok = size(tk).cast("double")
+          val stops = TextFunctions.stopwordCountOf(tk, TextFunctions.EnStops)
+            .cast("double")
+          struct(
+            nTok.cast("long").as("n_tokens"),
+            round(stops / nTok, 6).as("stop_ratio"),
+            round(least(lit(1.0), nTok / 100.0) * (lit(1.0) - stops / nTok), 6)
+              .as("score"))
+        }.cast("struct<n_tokens:bigint,stop_ratio:double,score:double>")
+        t(s, d, "documents").select(col("doc_id"), m.as("m"))
+          .select(col("doc_id"), col("m.n_tokens").as("n_tokens"),
+            col("m.stop_ratio").as("stop_ratio"), col("m.score").as("score"))
       },
       Some("""WITH q AS (
              |  SELECT doc_id,

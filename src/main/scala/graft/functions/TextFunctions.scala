@@ -94,9 +94,14 @@ object TextFunctions {
     * `(h >> b) & 1` — identical operator exists in ANSI SQL / DuckDB. */
   def bitOf(h: Column, b: Int): Column = shiftright(h, b).bitwiseAND(lit(1L))
 
+  /** Stopword-count over a pre-tokenized array (`toks` must be a cheap
+    * reference — attribute or lambda variable). */
+  def stopwordCountOf(toks: Column, stops: Seq[String]): Column =
+    size(filter(toks, t => t.isin(stops.map(s => s: Any): _*)))
+
   /** Stopword-count over tokens (codegen'd higher-order filter). */
   def stopwordCount(text: Column, stops: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isin(stops.map(s => s: Any): _*)))
+    stopwordCountOf(tokens(text), stops)
 
   val EnStops = Seq("the", "a", "of", "and")
   val DeStops = Seq("der", "die", "das", "und")
@@ -104,16 +109,23 @@ object TextFunctions {
   val EsStops = Seq("el", "los", "las", "y")
 
   /** Deterministic marker-word language-ID heuristic (argmax of per-language
-    * stopword hits, fixed tie priority en>de>fr>es, 'und' when no marker). */
-  def langGuess(text: Column): Column = {
-    val en = stopwordCount(text, EnStops)
-    val de = stopwordCount(text, DeStops)
-    val fr = stopwordCount(text, FrStops)
-    val es = stopwordCount(text, EsStops)
+    * stopword hits, fixed tie priority en>de>fr>es, 'und' when no marker),
+    * over a pre-tokenized array. */
+  def langGuessOf(toks: Column): Column = {
+    val en = stopwordCountOf(toks, EnStops)
+    val de = stopwordCountOf(toks, DeStops)
+    val fr = stopwordCountOf(toks, FrStops)
+    val es = stopwordCountOf(toks, EsStops)
     when(en >= de && en >= fr && en >= es && en > 0, "en")
       .when(de >= fr && de >= es && de > 0, "de")
       .when(fr >= es && fr > 0, "fr")
       .when(es > 0, "es")
       .otherwise("und")
   }
+
+  /** langGuess over raw text — tokenizes ONCE via `bound` (the four
+    * per-language filters previously each embedded their own `split`,
+    * i.e. four tokenizations per row for one value). */
+  def langGuess(text: Column): Column =
+    bound(tokens(text))(langGuessOf)
 }

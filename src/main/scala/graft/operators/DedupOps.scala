@@ -36,7 +36,7 @@ object DedupOps {
     * (TextFunctions.minhashAll) — the signature stage is strictly
     * O(tokens * seeds) per document. */
   def minhashSignatures(docs: DataFrame, shingleN: Int = 3): DataFrame =
-    docs.select(col("doc_id"),
+    Spread(docs).select(col("doc_id"),
       explode(map_from_arrays(
         array(MinhashSeeds.map(lit(_)): _*),
         minhashAll(col("text"), MinhashSeeds, shingleN))).as(Seq("seed", "mh")))
@@ -76,8 +76,20 @@ object DedupOps {
       idCol: String, aName: String, bName: String,
       maxBucket: Int = MaxBucket, metricName: String = "lsh_buckets",
       obs: Option[Observation] = None): DataFrame = {
+    // EXPLICIT bucket-key exchange at the job's shuffle parallelism: the
+    // implicit ENSURE_REQUIREMENTS exchange here carries few BYTES (ids +
+    // bucket keys), so AQE's byte-based coalescing folds it to one
+    // post-shuffle partition — and then the window, the collect_list and
+    // the quadratic in-bucket pair fan-out (the CPU-heavy part this
+    // stage exists to bound) all run on one core. An explicit
+    // repartition(shuffle.partitions, keys) is the identical layout the
+    // exchange would have without coalescing (scale-neutral: same keys,
+    // same partition count), but is not coalescable. The window and the
+    // groupBy below both reuse it — still ONE exchange in the plan.
+    val nParts = tagged.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
     val limited = tagged
+      .repartition(nParts, keyCols.map(col): _*)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxBucket + 1)
       .drop("__rn")
@@ -133,14 +145,25 @@ object DedupOps {
     * so only ONE per-pair set operation runs — array_union materialized a
     * second full hash-set pass per candidate pair. */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, shingleN: Int = 3): DataFrame = {
-    val sh = docs.select(col("doc_id"),
+    // Pin the candidate side's layout at the job's shuffle parallelism:
+    // the per-pair set intersection below is the CPU-heavy stage, but the
+    // candidate set is few BYTES, so AQE's byte-based coalescing folds
+    // the distinct()-exchange it arrives through to ONE post-shuffle
+    // partition — and when the planner probes the pair side (both
+    // shingle tables broadcast), every intersection then runs on a
+    // single core (measured: ~60% of this operator's wall). Keyed on
+    // doc_a so the layout also satisfies a sort-merge join's
+    // distribution if the planner picks one at scale.
+    val nParts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val p = pairs.repartition(nParts, col("doc_a"))
+    val sh = Spread(docs).select(col("doc_id"),
       array_distinct(shingles(col("text"), shingleN)).as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
     // bound: the intersection size feeds the formula twice — an unbound
     // reference would run the whole array_intersect a second time per pair
     val jac = bound(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))(
       i => round(i / (col("na") + col("nb") - i), 6))
-    pairs
+    p
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
         col("n_sh").as("na")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
@@ -168,8 +191,25 @@ object DedupOps {
                   shingleN: Int = 3, maxBucket: Int = MaxBucket,
                   obs: Option[Observation] = None): DataFrame = {
     val canonIds = exact(docs).select(col("canonical_doc_id").as("doc_id"))
-    val canonDocs = docs.join(canonIds, "doc_id")
-    val dropIds = nearDupPairs(canonDocs, threshold, shingleN, maxBucket, obs)
+    // Spread BEFORE the join: the join is broadcast (canonIds is small),
+    // so its output inherits the raw scan's partitioning — on a small
+    // single-file input that would pin every downstream signature/shingle
+    // stage to one core (Spread deliberately refuses to probe non-scan
+    // plans, so it must be applied on the scan side here)
+    val canonDocs = Spread(docs).join(canonIds, "doc_id")
+    // the Jaccard verify's shingle table is built from the RAW docs
+    // table, not canonDocs: the verify inner-joins it against candidate
+    // pairs whose ids are all canonical, so the extra (non-canonical)
+    // rows can never match and the result is identical — while the raw
+    // scan keeps its size statistics, letting the planner keep the
+    // broadcast verify shape (under the canonDocs join the estimate
+    // blows up, the verify degrades to sort-merge joins, and AQE then
+    // coalesces the small shuffles to ONE post-shuffle partition,
+    // serializing every candidate intersection on a single core —
+    // measured ~2x on this operator)
+    val dropIds = ngramJaccard(docs, minhashLshPairs(canonDocs, shingleN,
+        maxBucket, obs), shingleN)
+      .filter(col("jaccard") >= threshold)
       .select(col("doc_b").as("doc_id")).distinct()
     // anti-join against the ID set, not canonDocs — the output is ids
     // only, so the exact-dedup+join subtree is not derived a third time
@@ -185,14 +225,17 @@ object DedupOps {
     * folded with a vector add. The explode-then-groupBy alternative shuffles
     * one row PER TOKEN — at corpus scale that is a shuffle the size of the
     * token stream for a per-document value. Bit b of the token hash is
-    * extracted as floor(h / 2^b) mod 2 — h < 2^16, so the double division
-    * by a power of two is exact. */
+    * extracted with integer shift/mask (`bitOf`, (h >> b) & 1 — identical
+    * to the oracle's `(h16 >> b) & 1`): the earlier floor(h/2^b)-mod-2
+    * double form computed pow/floor/pmod per token per bit inside the
+    * interpreted HOF lambda, ~5x the per-token cost for the same value.
+    * The 16 bit terms are a fixed-width array literal rather than a
+    * transform over sequence(0,15), saving a per-token array allocation
+    * and the per-element lambda dispatch. */
   def simhash(docs: DataFrame): DataFrame = {
-    val pmOne = (h: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
-      pmod(floor(h.cast("double") / pow(lit(2.0), b)).cast("long"), lit(2L)) * 2 - 1
     val sig = bound(tokens(col("text")))(toks =>
       bound(transform(toks, t => bound(tokenHash16(t))(h =>
-          transform(sequence(lit(0), lit(15)), b => pmOne(h, b)))))(bitArrs =>
+          array((0 until 16).map(b => bitOf(h, b) * 2 - 1): _*))))(bitArrs =>
         bound(aggregate(bitArrs, array_repeat(lit(0L), 16),
             (acc, ba) => zip_with(acc, ba, (x, y) => x + y)))(sums =>
           (0 until 16).map(b =>
@@ -201,7 +244,7 @@ object DedupOps {
     // NULL text emitted no row under the old explode+groupBy form (and
     // emits none from the oracle's unnest) — keep that contract rather
     // than colliding NULL docs with genuine all-zero signatures
-    docs.filter(col("text").isNotNull)
+    Spread(docs).filter(col("text").isNotNull)
       .select(col("doc_id"), sig.as("simhash"))
   }
 

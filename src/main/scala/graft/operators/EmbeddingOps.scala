@@ -32,7 +32,7 @@ object EmbeddingOps {
     * same finding as q38b/q38d; the array-typed form is pinned in
     * EmbeddingOpsSpec). */
   def quantizeInt8(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"),
+    Spread(emb).select(col("vec_id"),
       TextFunctions.bound(VectorFunctions.toDouble(col("embedding"))) { v =>
         TextFunctions.bound(
           greatest(array_max(transform(v, x => abs(x))), lit(1e-300))) { s =>

@@ -28,7 +28,11 @@ object MultimodalOps {
   }
 
   /** Binarize a text column into the opaque payload column (stand-in for
-    * real media bytes; keeps the pipeline runnable on the sandbox corpus). */
+    * real media bytes; keeps the pipeline runnable on the sandbox corpus).
+    * NOT Spread: the sandbox decoder is length-arithmetic, so the scan IS
+    * the cost and a repartition is pure overhead (measured). With a real
+    * codec the decode dominates — Spread(docs) here would then be the
+    * guide-§2.5 fix, same as the text/vector operators. */
   def binarize(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
 

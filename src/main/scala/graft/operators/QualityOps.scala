@@ -42,28 +42,38 @@ object QualityOps {
     // first() columns (NOT a struct: a struct-typed first() has an
     // immutable aggregation buffer, which kicks the whole pipeline out of
     // HashAggregate into SortAggregate — PlanSpec pins the hash shape).
-    val perGram = docs.select(
+    //
+    // The metrics struct AND the gram array are materialized in a
+    // projection BELOW the explode: a single select(m, explode(grams))
+    // puts the struct in the Project Catalyst places ABOVE the Generate,
+    // re-evaluating the whole tokenize+distinct pipeline once PER GRAM
+    // (O(tokens) work × O(tokens) rows — measured as ~10x this operator's
+    // cost); the gram array is also built once here instead of twice
+    // (once for dup_2gram_frac, once for the explode).
+    val perDoc = Spread(docs).select(
       col("doc_id"),
       TextFunctions.bound(TextFunctions.tokens(col("text"))) { tk =>
-        struct(
-          size(tk).cast("long").as("n_tokens"),
-          round(lit(1.0) -
-            size(array_distinct(tk)).cast("double") / size(tk).cast("double"), 6)
-            .as("dup_token_frac"),
-          TextFunctions.bound(TextFunctions.shinglesOf(tk, 2)) { g =>
+        TextFunctions.bound(TextFunctions.shinglesOf(tk, 2)) { g =>
+          struct(
+            size(tk).cast("long").as("n_tokens"),
+            round(lit(1.0) -
+              size(array_distinct(tk)).cast("double") / size(tk).cast("double"), 6)
+              .as("dup_token_frac"),
             round(lit(1.0) -
               size(array_distinct(g)).cast("double") / size(g).cast("double"), 6)
-          }.as("dup_2gram_frac"))
+              .as("dup_2gram_frac"),
+            g.as("grams"))
+        }
         // aliases inside a lambda are stripped (fields come out col1..colN);
         // the positional struct cast restores the names
-      }.cast("struct<n_tokens:bigint,dup_token_frac:double,dup_2gram_frac:double>")
-        .as("m"),
-      explode(TextFunctions.shingles(col("text"), 2)).as("gram"))
+      }.cast("struct<n_tokens:bigint,dup_token_frac:double," +
+        "dup_2gram_frac:double,grams:array<string>>").as("m"))
+    val perGram = perDoc
       .select(col("doc_id"),
         col("m.n_tokens").as("n_tokens"),
         col("m.dup_token_frac").as("dup_token_frac"),
         col("m.dup_2gram_frac").as("dup_2gram_frac"),
-        col("gram"))
+        explode(col("m.grams")).as("gram"))
 
     perGram
       .groupBy(col("doc_id"), col("gram"))
@@ -87,7 +97,7 @@ object QualityOps {
     * the contract; the patterns cannot overlap so the order only matters
     * for documentation. Zero-shuffle codegen projection. */
   def piiRedact(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    Spread(docs).select(col("doc_id"),
       regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
       regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
       regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
@@ -103,7 +113,7 @@ object QualityOps {
     * cross-engine before the 1e-6 rounding. */
   def sourceStats(docs: DataFrame, shortChars: Int = 100,
       maxShortFrac: Double = 0.5, minDocs: Long = 3): DataFrame =
-    docs.groupBy(col("source"))
+    Spread(docs).groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
         round(avg(TextFunctions.tokenCount(col("text"))), 6).as("avg_tokens"),
@@ -120,7 +130,7 @@ object QualityOps {
     * once, shuffled once on doc_id for the count. Per-doc shingles are
     * distinct-collapsed first so n_shared = |shingle-set intersection|. */
   def decontaminate(corpus: DataFrame, eval: DataFrame): DataFrame = {
-    val corpusSh = corpus.select(col("doc_id"),
+    val corpusSh = Spread(corpus).select(col("doc_id"),
       explode(array_distinct(TextFunctions.shingles(col("text"), 3))).as("sh"))
     val evalSh = eval
       .select(explode(TextFunctions.shingles(col("text"), 3)).as("sh"))
@@ -142,7 +152,7 @@ object QualityOps {
   def packSequences(docs: DataFrame, window: Int = 2048): DataFrame = {
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
+    Spread(docs)
       .select(col("doc_id"), col("lang"),
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
       .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
@@ -172,7 +182,7 @@ object QualityOps {
     * with no map-side combine). */
   def tfidfTopK(docs: DataFrame, k: Int = 3,
       reuseTf: Boolean = false): DataFrame = {
-    val tfBase = docs.select(col("doc_id"),
+    val tfBase = Spread(docs).select(col("doc_id"),
         explode(TextFunctions.tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val tf = if (reuseTf)
@@ -213,7 +223,7 @@ object QualityOps {
       transform(sequence(lit(1), lastStart, lit(stride)),
         i => concat_ws(" ", slice(tk, i, lit(window))))
     }
-    docs.select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+    Spread(docs).select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         size(split(col("chunk"), " ")).cast("long").as("chunk_tokens"),
         md5(col("chunk")).as("chunk_fp"))
@@ -254,20 +264,30 @@ object QualityOps {
     * projection, so it runs unchanged on a STREAMING DataFrame (the
     * ingest-time curation path, gated as q57b). */
   def curationSignals(docs: DataFrame): DataFrame = {
-    val nTok = TextFunctions.tokenCount(col("text")).cast("double")
-    val stops = TextFunctions
-      .stopwordCount(col("text"), TextFunctions.EnStops).cast("double")
-    docs.select(col("doc_id"), col("source"),
-      nTok.cast("long").as("n_tokens"),
-      round(least(lit(1.0), nTok / 100.0) * (lit(1.0) - stops / nTok), 6)
-        .as("score"),
-      TextFunctions.bound(TextFunctions.tokens(col("text"))) { tk =>
+    // ONE tokenization per row for all four signals: the earlier form
+    // embedded seven independent `split`s per row (token count, stopword
+    // count, 2-gram build, four language filters). Aliases inside a HOF
+    // lambda are stripped, so the struct's names are restored by a
+    // positional cast (same trap as repetitionStats/q49).
+    val sig = TextFunctions.bound(TextFunctions.tokens(col("text"))) { tk =>
+      val nTok = size(tk).cast("double")
+      val stops = TextFunctions.stopwordCountOf(tk, TextFunctions.EnStops)
+        .cast("double")
+      struct(
+        nTok.cast("long").as("n_tokens"),
+        round(least(lit(1.0), nTok / 100.0) * (lit(1.0) - stops / nTok), 6)
+          .as("score"),
         TextFunctions.bound(TextFunctions.shinglesOf(tk, 2)) { g =>
           round(lit(1.0) -
             size(array_distinct(g)).cast("double") / size(g).cast("double"), 6)
-        }
-      }.as("dup_2gram_frac"),
-      TextFunctions.langGuess(col("text")).as("lang_guess"))
+        }.as("dup_2gram_frac"),
+        TextFunctions.langGuessOf(tk).as("lang_guess"))
+    }.cast("struct<n_tokens:bigint,score:double,dup_2gram_frac:double,lang_guess:string>")
+    Spread(docs).select(col("doc_id"), col("source"), sig.as("m"))
+      .select(col("doc_id"), col("source"),
+        col("m.n_tokens").as("n_tokens"), col("m.score").as("score"),
+        col("m.dup_2gram_frac").as("dup_2gram_frac"),
+        col("m.lang_guess").as("lang_guess"))
   }
 
   /** Fold signals + the (broadcast, batch-computed) source verdicts into

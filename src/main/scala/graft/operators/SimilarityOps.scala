@@ -20,12 +20,18 @@ import graft.functions.VectorFunctions._
 object SimilarityOps {
 
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+    // norms are per-VECTOR values: computing them in the side projections
+    // (identical sqrt-of-dot fold — bit-identical results) leaves one dot
+    // fold per scored pair instead of three
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      norm2(col("embedding")).as("q_nrm"))
+    val c = Spread(corpus).select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+      norm2(col("embedding")).as("c_nrm"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        round(cosine(col("q_emb"), col("c_emb")), 6).as("cos"))
+        round(dot(col("q_emb"), col("c_emb")) /
+          (col("q_nrm") * col("c_nrm")), 6).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select("query_id", "cand_id", "cos", "rk")
@@ -35,13 +41,16 @@ object SimilarityOps {
   def lshTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int = 5,
               nBits: Int = 8): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      norm2(col("embedding")).as("q_nrm"),
       lshBucket(col("embedding"), dim, nBits).as("bucket"))
-    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+    val c = Spread(corpus).select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+      norm2(col("embedding")).as("c_nrm"),
       lshBucket(col("embedding"), dim, nBits).as("c_bucket"))
     val scored = c.join(broadcast(q), col("bucket") === col("c_bucket") &&
         col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        round(cosine(col("q_emb"), col("c_emb")), 6).as("cos"))
+        round(dot(col("q_emb"), col("c_emb")) /
+          (col("q_nrm") * col("c_nrm")), 6).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select("query_id", "cand_id", "cos", "rk")
@@ -71,7 +80,8 @@ object SimilarityOps {
     val scored = lshBandedCandidates(corpus, queries, dim, bands, bitsPerBand,
         multiProbe)
       .select(col("query_id"), col("cand_id"),
-        round(cosine(col("q_emb"), col("c_emb")), 6).as("cos"))
+        round(dot(col("q_emb"), col("c_emb")) /
+          (col("q_nrm") * col("c_nrm")), 6).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select("query_id", "cand_id", "cos", "rk")
@@ -100,10 +110,11 @@ object SimilarityOps {
       lshBucket(col("embedding"), dim, bitsPerBand, firstBit = bd * bitsPerBand)): _*)
     def maskArr = array((0 until bands).map(bd =>
       lshWeakBitMask(col("embedding"), dim, bitsPerBand, firstBit = bd * bitsPerBand)): _*)
-    val qCols = Seq(col("query_id"), col("q_emb"), col("bks_q")) ++
+    val qCols = Seq(col("query_id"), col("q_emb"), col("q_nrm"), col("bks_q")) ++
       (if (multiProbe) Seq(col("mks_q")) else Nil)
     val q0 = queries
       .select(Seq(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        norm2(col("embedding")).as("q_nrm"),
         bucketArr.as("bks_q")) ++
         (if (multiProbe) Seq(maskArr.as("mks_q")) else Nil): _*)
     // probe rows: the exact bucket per band, plus (multi-probe) the
@@ -120,10 +131,10 @@ object SimilarityOps {
     val q = q0.select(qCols :+ explode(array(probes: _*)).as("pr"): _*)
       .select(qCols :+ col("pr")("band").as("band") :+
         col("pr")("bucket").as("bucket"): _*)
-    val c = corpus
+    val c = Spread(corpus)
       .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
-        bucketArr.as("bks_c"))
-      .select(col("cand_id"), col("c_emb"), col("bks_c"),
+        norm2(col("embedding")).as("c_nrm"), bucketArr.as("bks_c"))
+      .select(col("cand_id"), col("c_emb"), col("c_nrm"), col("bks_c"),
         posexplode(col("bks_c")).as(Seq("band_c", "bucket_c")))
     // keep a colliding pair only at its FIRST matching band (see
     // nearDupAgainstCorpus for the greatest(band,1) eager-safety note)
@@ -139,7 +150,8 @@ object SimilarityOps {
         col("band") === col("band_c") && col("bucket") === col("bucket_c") &&
         col("query_id") =!= col("cand_id"))
       .filter(when(col("band") === 0, lit(true)).otherwise(!earlierBandMatched))
-      .select(col("query_id"), col("cand_id"), col("q_emb"), col("c_emb"))
+      .select(col("query_id"), col("cand_id"), col("q_emb"), col("c_emb"),
+        col("q_nrm"), col("c_nrm"))
   }
 
   /** IVF (inverted-file) ANN — CENTROID-pruned search, the clustered
@@ -188,27 +200,29 @@ object SimilarityOps {
     val assignment = aggregate(scoredCents,
       struct(lit(-2.0).as("acos"), lit(-1L).as("cent_id")),
       (acc, s) => when(s("acos") > acc("acos"), s).otherwise(acc))
-    val assigned = corpus
+    val assigned = Spread(corpus)
       .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
         norm2(col("embedding")).as("c_norm"))
       .crossJoin(broadcast(codebook))
-      .select(col("cand_id"), col("c_emb"),
+      .select(col("cand_id"), col("c_emb"), col("c_norm"),
         assignment.getField("cent_id").as("cent_id"))
     // query probe lists: queries are small by construction, so a window
     // over queries x codebook is tiny; the same rounded-cosine + cent_id
     // tie-break keeps the probe choice engine-replayable
     val wP = Window.partitionBy("query_id").orderBy(col("pcos").desc, col("cent_id"))
     val probes = queries
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        norm2(col("embedding")).as("q_nrm"))
       .crossJoin(broadcast(centCols.select(col("cent_id"), col("cent_emb"))))
-      .select(col("query_id"), col("q_emb"), col("cent_id"),
+      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cent_id"),
         round(cosine(col("q_emb"), col("cent_emb")), 6).as("pcos"))
       .withColumn("prk", row_number().over(wP)).filter(col("prk") <= nProbe)
-      .select(col("query_id"), col("q_emb"), col("cent_id"))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cent_id"))
     val scored = assigned.join(broadcast(probes), Seq("cent_id"))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        round(cosine(col("q_emb"), col("c_emb")), 6).as("cos"))
+        round(dot(col("q_emb"), col("c_emb")) /
+          (col("q_nrm") * col("c_norm")), 6).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select("query_id", "cand_id", "cos", "rk")
@@ -219,11 +233,14 @@ object SimilarityOps {
     * twin and recall reference; the production path at corpus scale is
     * `cosineNearDupPairsBucketed` below. */
   def cosineNearDupPairs(emb: DataFrame, tau: Double = 0.95): DataFrame = {
-    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"))
-    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"))
+    val a = Spread(emb).select(col("vec_id").as("vec_a"), col("embedding").as("e_a"),
+      norm2(col("embedding")).as("n_a"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"),
+      norm2(col("embedding")).as("n_b"))
     a.join(b, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(cosine(col("e_a"), col("e_b")), 6).as("cos"))
+        round(dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 6)
+          .as("cos"))
       .filter(col("cos") >= tau)
   }
 
@@ -246,15 +263,15 @@ object SimilarityOps {
                            broadcastCorpus: Boolean = true): DataFrame = {
     def bucketArr = array((0 until bands).map(bd =>
       lshBucket(col("embedding"), dim, bitsPerBand, firstBit = bd * bitsPerBand)): _*)
-    val in = incoming
+    val in = Spread(incoming)
       .select(col("vec_id").as("in_id"), col("embedding").as("e_i"),
-        bucketArr.as("bks_i"))
-      .select(col("in_id"), col("e_i"), col("bks_i"),
+        norm2(col("embedding")).as("n_i"), bucketArr.as("bks_i"))
+      .select(col("in_id"), col("e_i"), col("n_i"), col("bks_i"),
         posexplode(col("bks_i")).as(Seq("band", "bucket")))
-    val co0 = corpus
+    val co0 = Spread(corpus)
       .select(col("vec_id").as("corpus_id"), col("embedding").as("e_c"),
-        bucketArr.as("bks_c"))
-      .select(col("corpus_id"), col("e_c"), col("bks_c"),
+        norm2(col("embedding")).as("n_c"), bucketArr.as("bks_c"))
+      .select(col("corpus_id"), col("e_c"), col("n_c"), col("bks_c"),
         posexplode(col("bks_c")).as(Seq("band_c", "bucket_c")))
     val co = if (broadcastCorpus) broadcast(co0) else co0
     // greatest(band, 1): sequence(1, 0) would be DESCENDING [1, 0] and
@@ -268,7 +285,8 @@ object SimilarityOps {
         col("in_id") =!= col("corpus_id"))
       .filter(when(col("band") === 0, lit(true)).otherwise(firstBandOnly))
       .select(col("in_id"), col("corpus_id"),
-        round(cosine(col("e_i"), col("e_c")), 6).as("cos"))
+        round(dot(col("e_i"), col("e_c")) / (col("n_i") * col("n_c")), 6)
+          .as("cos"))
       .filter(col("cos") >= tau)
   }
 
@@ -294,14 +312,32 @@ object SimilarityOps {
                                  bitsPerBand: Int = 8,
                                  maxBucket: Int = DedupOps.MaxBucket,
                                  obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    // candidate side pinned at the job's shuffle parallelism — same
+    // rationale as DedupOps.ngramJaccard: the exact-cosine verify is the
+    // CPU-heavy stage but candidates are few bytes, and AQE otherwise
+    // coalesces their exchange to one partition, serializing the verify
+    val nParts = emb.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val cand = cosineCandidatesBucketed(emb, dim, bands, bitsPerBand,
-      maxBucket, obs)
-    val e = emb.select(col("vec_id"), col("embedding"))
+      maxBucket, obs).repartition(nParts, col("vec_a"))
+    // per-VECTOR norm precomputed in the join projection (norm2 here is
+    // the identical sqrt-of-dot fold, so cos below is bit-identical to
+    // cosine()): the exact verify then folds only ONE dot per candidate
+    // pair instead of three — at any scale the candidate set is ~10-100x
+    // the corpus, so this drops 2/3 of the verify-stage fold work.
+    // Spread keeps the verify's probe side at cluster parallelism when
+    // the corpus scan is a single small file (same guard as the
+    // candidate stage).
+    val e = Spread(emb.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("embedding"),
+        norm2(col("embedding")).as("nrm"))
     cand
-      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("e_a")), "vec_a")
-      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("e_b")), "vec_b")
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"),
+        col("nrm").as("n_a")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"),
+        col("nrm").as("n_b")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
-        round(cosine(col("e_a"), col("e_b")), 6).as("cos"))
+        round(dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 6)
+          .as("cos"))
       .filter(col("cos") >= tau)
   }
 
@@ -316,7 +352,7 @@ object SimilarityOps {
                                obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val bucketArr = array((0 until bands).map(bd =>
       lshBucket(col("embedding"), dim, bitsPerBand, firstBit = bd * bitsPerBand)): _*)
-    val tagged = emb.select(col("vec_id"),
+    val tagged = Spread(emb).select(col("vec_id"),
       posexplode(bucketArr).as(Seq("band", "bucket")))
     DedupOps.boundedBucketPairs(tagged, Seq("band", "bucket"),
       "vec_id", "vec_a", "vec_b", maxBucket, "cosine_lsh_buckets", obs)
