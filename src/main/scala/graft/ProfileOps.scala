@@ -34,21 +34,22 @@ object ProfileOps {
     // stage-level attribution (no UI in the sandbox): record every
     // completed stage's wall/executor-cpu time during the LAST pass
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, Int, Long)]()
+    val verboseStages = args.contains("-stages")
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val wall = (for {s <- si.submissionTime; c <- si.completionTime}
           yield c - s).getOrElse(-1L)
-        System.err.println(f"[stageN] ${si.stageId}%5d wall=$wall%6dms " +
-          f"run=${si.taskMetrics.executorRunTime}%6dms tasks=${si.numTasks}%3d " +
-          si.name.take(80))
+        if (verboseStages)
+          System.err.println(f"[stageN] ${si.stageId}%5d wall=$wall%6dms " +
+            f"run=${si.taskMetrics.executorRunTime}%6dms tasks=${si.numTasks}%3d " +
+            si.name.take(80))
         stages.add((si.stageId, wall,
           si.taskMetrics.executorRunTime, si.numTasks,
           si.taskMetrics.executorCpuTime / 1000000L))
       }
     })
-    val verboseStages = args.contains("-stages")
 
     def time(name: String)(df: => DataFrame): Unit = {
       def once: Double = {
@@ -118,6 +119,26 @@ object ProfileOps {
       TF.bound(TF.tokens(col("text")))(toks =>
         transform(toks, t => TF.tokenHash16(t))).as("hs")))
     time("q34_simhash_full")(graft.operators.DedupOps.simhash(docs))
+
+    // skew-leg replica (Bench's dedup_spiked_sec methodology: count, not
+    // noop — the frozen bench counts kept ids)
+    {
+      val nSpike = 5000L
+      val docsST = docs.select("doc_id", "text")
+      val spike = spark.range(nSpike).select(
+        (col("id") + 10000000L).as("doc_id"),
+        concat(lit("the quick brown fox jumps over the lazy dog tail "),
+          col("id")).as("text"))
+      val corpus = docsST.unionByName(spike)
+      def onceSkew: Double = {
+        val t0 = System.nanoTime()
+        graft.operators.DedupOps.dedupCorpus(corpus, 0.7).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val s1 = onceSkew; val s2 = onceSkew
+      println(f"[prof] skew_dedup_spiked min=${math.min(s1, s2)}%.3f " +
+        f"samples=$s1%.3f,$s2%.3f")
+    }
 
     // q45 decomposition
     {
@@ -201,6 +222,15 @@ object ProfileOps {
       graft.operators.SimilarityOps.cosineCandidatesBucketed(emb))
     time("q36b_full")(
       graft.operators.SimilarityOps.cosineNearDupPairsBucketed(emb, 0.25))
+    time("q36c_full")(graft.operators.SimilarityOps.nearDupAgainstCorpus(
+      emb.filter(col("vec_id") < 50), emb, 0.25, dim = 64, bands = 4,
+      bitsPerBand = 8))
+    time("q37b_full")(graft.operators.SimilarityOps.lshTopKBanded(
+      emb, emb.filter(col("vec_id") < 10), dim = 64, k = 5, bands = 4,
+      bitsPerBand = 4))
+    time("q37b_candidates")(graft.operators.SimilarityOps.lshBandedCandidates(
+      emb, emb.filter(col("vec_id") < 10), dim = 64, bands = 4,
+      bitsPerBand = 4))
     spark.stop()
   }
 }

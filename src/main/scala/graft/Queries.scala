@@ -553,7 +553,7 @@ object Queries {
             round(least(lit(1.0), nTok / 100.0) * (lit(1.0) - stops / nTok), 6)
               .as("score"))
         }.cast("struct<n_tokens:bigint,stop_ratio:double,score:double>")
-        t(s, d, "documents").select(col("doc_id"), m.as("m"))
+        Spread(t(s, d, "documents")).select(col("doc_id"), m.as("m"))
           .select(col("doc_id"), col("m.n_tokens").as("n_tokens"),
             col("m.stop_ratio").as("stop_ratio"), col("m.score").as("score"))
       },
@@ -569,7 +569,7 @@ object Queries {
              |FROM q""".stripMargin)),
 
     Q("q30_langid",
-      (s, d) => t(s, d, "documents")
+      (s, d) => Spread(t(s, d, "documents"))
         .select(col("doc_id"), TextFunctions.langGuess(col("text")).as("lang_guess")),
       Some("""WITH c AS (
              |  SELECT doc_id,
@@ -594,7 +594,7 @@ object Queries {
     // Order-sensitive rolling-hash fingerprint (vs the set-semantics md5 /
     // minhash family): left fold of (h*131 + tokenHash16) mod 2^31.
     Q("q31b_rolling_fingerprint",
-      (s, d) => t(s, d, "documents").select(col("doc_id"),
+      (s, d) => Spread(t(s, d, "documents")).select(col("doc_id"),
         TextFunctions.rollingFingerprint(col("text")).as("rfp")),
       Some(s"""SELECT doc_id,
               |  list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -117,7 +117,13 @@ object QualityOps {
       .agg(
         count(lit(1)).as("n_docs"),
         round(avg(TextFunctions.tokenCount(col("text"))), 6).as("avg_tokens"),
-        round(avg(when(col("n_chars") < shortChars, 1.0).otherwise(0.0)), 6)
+        // NULL n_chars rows are EXCLUDED from the fraction (avg skips
+        // NULLs), matching the oracle's avg(CAST(n_chars < 100 AS INT))
+        // which also skips them — the earlier otherwise(0.0) silently
+        // counted a NULL row as "not short" (ADVICE r5; driver tables
+        // carry no NULLs, so gated results are unchanged)
+        round(avg(when(col("n_chars").isNull, lit(null))
+          .when(col("n_chars") < shortChars, 1.0).otherwise(0.0)), 6)
           .as("short_frac"))
       .withColumn("verdict",
         when(col("short_frac") <= maxShortFrac && col("n_docs") >= minDocs,
@@ -170,24 +176,21 @@ object QualityOps {
     * broadcast-joined back → per-doc window top-k. The (doc,tok)
     * aggregate feeds BOTH tf and df; Spark's lazy evaluation has no
     * cross-branch common-subexpression reuse (and after column pruning
-    * the two subtrees differ, so ReuseExchange cannot fire), so by
-    * default the df branch re-derives from a second corpus scan.
-    * `reuseTf = true` persists the aggregate (memory-and-disk) instead —
-    * measured at sf0.1 the recompute is 4.5× FASTER (2.1 s vs 9.6 s
-    * warm: local scans are cheap and the columnar cache round-trip is
-    * not), but on a 100 TB corpus where the scan dominates, persist (or a
-    * pre-materialized (doc,tok) table) is the right call. df stays a
-    * partial-agg groupBy rather than a count-over-window on tok, which
-    * would funnel every stopword occurrence into one task (hot-key skew
-    * with no map-side combine). */
-  def tfidfTopK(docs: DataFrame, k: Int = 3,
-      reuseTf: Boolean = false): DataFrame = {
-    val tfBase = Spread(docs).select(col("doc_id"),
+    * the two subtrees differ, so ReuseExchange cannot fire), so the df
+    * branch re-derives from a second corpus scan — measured at sf0.1 the
+    * recompute is 4.5× FASTER than persisting the aggregate (local scans
+    * are cheap and the columnar cache round-trip is not); on a 100 TB
+    * corpus where the scan dominates, pre-materialize the (doc,tok)
+    * aggregate as a table instead. (The round-5 `reuseTf` persist flag
+    * was removed: slower here, used by no gate, and it leaked executor
+    * storage memory because nothing ever unpersisted it — ADVICE r5.)
+    * df stays a partial-agg groupBy rather than a count-over-window on
+    * tok, which would funnel every stopword occurrence into one task
+    * (hot-key skew with no map-side combine). */
+  def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = Spread(docs).select(col("doc_id"),
         explode(TextFunctions.tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val tf = if (reuseTf)
-      tfBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else tfBase
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
     val scored = tf.join(df, "tok").crossJoin(broadcast(nDocs))
@@ -195,7 +198,14 @@ object QualityOps {
         (col("tf") * col("n_docs")).cast("double") / col("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("tok"))
-    scored.withColumn("rk", row_number().over(w).cast("long"))
+    // explicit doc_id exchange at the job's shuffle parallelism: the
+    // scored rows are narrow, so AQE's byte-based coalescing otherwise
+    // shrinks the window's exchange to a couple of partitions and the
+    // per-doc sort+rank runs nearly serial (same fix as
+    // DedupOps.boundedBucketPairs)
+    val nParts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    scored.repartition(nParts, col("doc_id"))
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("doc_id"), col("tok"), col("tf"), col("df"),
         round(col("score"), 6).as("score"), col("rk"))
