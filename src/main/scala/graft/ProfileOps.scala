@@ -225,6 +225,34 @@ object ProfileOps {
     time("q36c_full")(graft.operators.SimilarityOps.nearDupAgainstCorpus(
       emb.filter(col("vec_id") < 50), emb, 0.25, dim = 64, bands = 4,
       bitsPerBand = 8))
+    // A/B: the pre-flip join direction (corpus broadcast, incoming probe)
+    locally {
+      import graft.functions.VectorFunctions._
+      import graft.operators.Spread
+      def bucketArr = array((0 until 4).map(bd =>
+        lshBucket(col("embedding"), 64, 8, firstBit = bd * 8)): _*)
+      val in0 = Spread(emb.filter(col("vec_id") < 50))
+        .select(col("vec_id").as("in_id"), col("embedding").as("e_i"),
+          norm2(col("embedding")).as("n_i"), bucketArr.as("bks_i"))
+        .select(col("in_id"), col("e_i"), col("n_i"), col("bks_i"),
+          posexplode(col("bks_i")).as(Seq("band", "bucket")))
+      val co0 = Spread(emb)
+        .select(col("vec_id").as("corpus_id"), col("embedding").as("e_c"),
+          norm2(col("embedding")).as("n_c"), bucketArr.as("bks_c"))
+        .select(col("corpus_id"), col("e_c"), col("n_c"), col("bks_c"),
+          posexplode(col("bks_c")).as(Seq("band_c", "bucket_c")))
+      val firstBandOnly = !exists(
+        sequence(lit(1), greatest(col("band"), lit(1))),
+        j => element_at(col("bks_i"), j) === element_at(col("bks_c"), j))
+      time("q36c_old_bcast_corpus")(in0.join(broadcast(co0),
+          col("band") === col("band_c") && col("bucket") === col("bucket_c") &&
+          col("in_id") =!= col("corpus_id"))
+        .filter(when(col("band") === 0, lit(true)).otherwise(firstBandOnly))
+        .select(col("in_id"), col("corpus_id"),
+          round(dot(col("e_i"), col("e_c")) / (col("n_i") * col("n_c")), 6)
+            .as("cos"))
+        .filter(col("cos") >= 0.25))
+    }
     time("q37b_full")(graft.operators.SimilarityOps.lshTopKBanded(
       emb, emb.filter(col("vec_id") < 10), dim = 64, k = 5, bands = 4,
       bitsPerBand = 4))

@@ -255,15 +255,22 @@ object SimilarityOps {
     * is kept only at its FIRST matching band (both sides carry their full
     * band-bucket arrays; a codegen-friendly exists() checks no earlier
     * band also collided) — no DISTINCT, which would be stateful on a
-    * stream. At a corpus too large to broadcast, flip `broadcastCorpus`
-    * and the same plan becomes a hash shuffle on (band, bucket). */
+    * stream. On a BATCH incoming side the probe set itself is broadcast
+    * and the corpus only streamed (see the join-direction note below);
+    * on a streaming input with a corpus too large to broadcast, flip
+    * `broadcastCorpus` and the same plan becomes a hash shuffle on
+    * (band, bucket). */
   def nearDupAgainstCorpus(incoming: DataFrame, corpus: DataFrame,
                            tau: Double = 0.95, dim: Int = 64, bands: Int = 4,
                            bitsPerBand: Int = 8,
                            broadcastCorpus: Boolean = true): DataFrame = {
     def bucketArr = array((0 until bands).map(bd =>
       lshBucket(col("embedding"), dim, bitsPerBand, firstBit = bd * bitsPerBand)): _*)
-    val in = Spread(incoming)
+    // Spread only when the incoming side is the join's PROBE side (see
+    // join-direction note below); as a broadcast build the repartition
+    // would just add an exchange inside the broadcast job
+    val inProbe = incoming.isStreaming || !broadcastCorpus
+    val in = (if (inProbe) Spread(incoming) else incoming)
       .select(col("vec_id").as("in_id"), col("embedding").as("e_i"),
         norm2(col("embedding")).as("n_i"), bucketArr.as("bks_i"))
       .select(col("in_id"), col("e_i"), col("n_i"), col("bks_i"),
@@ -273,16 +280,31 @@ object SimilarityOps {
         norm2(col("embedding")).as("n_c"), bucketArr.as("bks_c"))
       .select(col("corpus_id"), col("e_c"), col("n_c"), col("bks_c"),
         posexplode(col("bks_c")).as(Seq("band_c", "bucket_c")))
-    val co = if (broadcastCorpus) broadcast(co0) else co0
+    val co = if (broadcastCorpus && incoming.isStreaming) broadcast(co0) else co0
     // greatest(band, 1): sequence(1, 0) would be DESCENDING [1, 0] and
     // element_at(_, 0) throws — the band=0 guard below makes the value
     // irrelevant, but the expression must stay safe to evaluate eagerly
     val firstBandOnly = !exists(
       sequence(lit(1), greatest(col("band"), lit(1))),
       j => element_at(col("bks_i"), j) === element_at(col("bks_c"), j))
-    in.join(co,
-        col("band") === col("band_c") && col("bucket") === col("bucket_c") &&
-        col("in_id") =!= col("corpus_id"))
+    // Join direction (guide §3.1 — broadcast the SMALL side): on a BATCH
+    // input the incoming probe set is the small side by construction, so
+    // broadcast IT and stream the corpus — the corpus is never collected
+    // at all (strictly better than broadcasting it at any scale) and the
+    // cosine verify runs at the corpus scan's parallelism. A STREAMING
+    // input cannot be a broadcast build side (stream-static joins must
+    // probe from the stream), so there the static corpus side keeps the
+    // `broadcastCorpus` broadcast-or-shuffle escape hatch.
+    val joined =
+      if (incoming.isStreaming || !broadcastCorpus)
+        in.join(co,
+          col("band") === col("band_c") && col("bucket") === col("bucket_c") &&
+          col("in_id") =!= col("corpus_id"))
+      else
+        co.join(broadcast(in),
+          col("band") === col("band_c") && col("bucket") === col("bucket_c") &&
+          col("in_id") =!= col("corpus_id"))
+    joined
       .filter(when(col("band") === 0, lit(true)).otherwise(firstBandOnly))
       .select(col("in_id"), col("corpus_id"),
         round(dot(col("e_i"), col("e_c")) / (col("n_i") * col("n_c")), 6)
