@@ -103,6 +103,25 @@ object ProfileOps {
     time("q04_plain")(q04of(orders))
     time("q04_spread")(q04of(graft.operators.Spread(orders)))
 
+    // window-exchange pin A/B (q08/q09 shapes)
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      val w8 = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      def q08of(o: DataFrame) = o
+        .withColumn("rk", row_number().over(w8)).filter(col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+      time("q08_plain")(q08of(orders))
+      time("q08_pinned")(q08of(orders.repartition(32, col("o_custkey"))))
+      val w9 = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def q09of(li: DataFrame) = li
+        .withColumn("running_qty", sum("l_quantity").over(w9))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+      time("q09_plain")(q09of(lineitem))
+      time("q09_pinned")(q09of(lineitem.repartition(32, col("l_suppkey"))))
+    }
+
     time("docs_scan_text")(docs.select(col("doc_id"), col("text")))
     time("tokens_only")(docs.select(col("doc_id"), TF.tokens(col("text")).as("t")))
     time("shingles_only")(docs.select(col("doc_id"), TF.shingles(col("text"), 3).as("sh")))
